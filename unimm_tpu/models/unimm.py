@@ -1,0 +1,131 @@
+"""UniMM-UL top-level model functions: descriptors -> biases -> encoder ->
+heads/losses/scores.
+
+This is the TPU-native equivalent of VisualDialogEncoder +
+BertForMultiModalPreTraining.forward (/root/reference/models/
+visual_dialog_encoder.py:18-50, /root/reference/models/vilbert_dialog.py:1519)
+— a train path returning (lm_loss, img_loss, nsp_loss) and an eval path
+returning candidate-ranking scores, with the key structural difference that
+attention masks are generated on device from 3 ints per sequence and the eval
+path never materialises the [N, L, vocab] MLM logits (answer-token NLL is
+computed by online softmax at gathered label positions).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from unimm_tpu.config import VilbertConfig
+from unimm_tpu.models import vilbert
+from unimm_tpu.ops import losses as L
+from unimm_tpu.ops import masks
+
+# Maximum number of MLM-label positions gathered per sequence on the eval
+# scoring path. Answers are short (the generative layout duplicates the
+# answer inside a 256-token budget), so 64 covers every real sequence;
+# positions beyond the actual label count point at padding with label -1.
+MAX_LABEL_POSITIONS = 64
+
+
+def build_biases(mode, ctx_end, ans_len, image_mask, max_len: int,
+                 dtype=jnp.float32):
+    """Descriptor -> (text_bias [B,1,L,L], image_bias [B,1,1,R],
+    co_bias [B,1,1,L], position_ids [B,L])."""
+    return (
+        masks.text_self_bias(mode, ctx_end, ans_len, max_len, dtype),
+        masks.image_self_bias(image_mask, dtype),
+        masks.co_attention_bias(mode, ctx_end, ans_len, max_len, dtype),
+        masks.position_ids(mode, ctx_end, ans_len, max_len),
+    )
+
+
+def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
+           dtype=jnp.float32):
+    """Run the two-stream encoder from a descriptor batch.
+
+    batch keys: tokens [B,L] int32, segments [B,L] int32, mode/ctx_end/ans_len
+    [B] int32, image_feat [B,R,2048], image_loc [B,R,5], image_mask [B,R].
+    Optional: positions [B,L] (host-provided override).
+    Returns (t_seq, v_seq, pooled_t, pooled_v).
+    """
+    Lmax = batch["tokens"].shape[-1]
+    t_bias, v_bias, co_bias, pos = build_biases(
+        batch["mode"], batch["ctx_end"], batch["ans_len"],
+        batch["image_mask"], Lmax, dtype)
+    if "positions" in batch and batch["positions"] is not None:
+        pos = batch["positions"]
+    return vilbert.bert_model(
+        params, cfg,
+        input_ids=batch["tokens"], token_type_ids=batch["segments"],
+        position_ids=pos, text_bias=t_bias,
+        image_feat=batch["image_feat"], image_loc=batch["image_loc"],
+        image_bias=v_bias, co_bias=co_bias, train=train, rng=rng, dtype=dtype)
+
+
+def forward_train(params, cfg: VilbertConfig, batch, *, rng,
+                  nsp_weight=None, dtype=jnp.bfloat16, train=True):
+    """Training losses (vilbert_dialog.py:1559-1624 semantics).
+
+    Extra batch keys: mlm_labels [B,L] (-1 ignore), lm_weight [B,L],
+    next_sentence_label [B], image_target [B,R,1601], image_label [B,R].
+    Returns dict(lm=..., img=..., nsp=...) of scalar fp32 losses.
+    """
+    r_enc, r_head = (jax.random.split(rng) if rng is not None else (None, None))
+    t_seq, v_seq, pooled_t, pooled_v = encode(
+        params, cfg, batch, train=train, rng=r_enc, dtype=dtype)
+    mlm_logits, img_logits, nsp_logits = vilbert.pretraining_heads(
+        params, cfg, t_seq, v_seq, pooled_t, pooled_v, train=train, rng=r_head)
+    return {
+        "lm": L.masked_lm_ul_loss(mlm_logits, batch["mlm_labels"],
+                                  batch["lm_weight"]),
+        "img": L.masked_img_loss(img_logits, batch["image_target"],
+                                 batch["image_label"]),
+        "nsp": L.nsp_loss(nsp_logits, batch["next_sentence_label"], nsp_weight),
+    }
+
+
+def label_positions(mlm_labels, max_positions: int = MAX_LABEL_POSITIONS):
+    """Static-shape gather indices of label positions per sequence.
+
+    Returns (positions [B,P] int32, labels_at [B,P] with -1 padding). Uses a
+    stable argsort on the "is-label" indicator so real positions come first in
+    original order.
+    """
+    is_lab = mlm_labels != -1
+    order = jnp.argsort(~is_lab, axis=-1, stable=True)
+    pos = order[..., :max_positions]
+    labs = jnp.take_along_axis(mlm_labels, pos, axis=-1)
+    return pos.astype(jnp.int32), labs
+
+
+def forward_eval(params, cfg: VilbertConfig, batch, *, dtype=jnp.bfloat16,
+                 need_lm=True, need_nsp=True):
+    """Eval scoring pass (val_lm.py:121-143 / train.py:258-263 semantics).
+
+    Returns dict with:
+      nsp_logits [B, 2]
+      lm_nll_sum [B]   — answer NLL summed over label tokens (seq-level LL = -sum)
+      lm_nll_mean [B]  — token-averaged NLL (val_avg_lm.py:135)
+    """
+    t_seq, v_seq, pooled_t, pooled_v = encode(
+        params, cfg, batch, train=False, rng=None, dtype=dtype)
+    out = {}
+    if need_nsp:
+        pooled = (pooled_t * pooled_v if cfg.fusion_method == "mul"
+                  else pooled_t + pooled_v)
+        out["nsp_logits"] = vilbert.linear(
+            params["cls"]["bi_seq_relationship"], pooled).astype(jnp.float32)
+    if need_lm:
+        pos, labs = label_positions(batch["mlm_labels"])
+        hidden = vilbert.mlm_head_at_positions(params, cfg, t_seq, pos)
+        decoder = params["bert"]["embeddings"]["word_embeddings"]
+        bias = params["cls"]["predictions"]["bias"]
+        nll = L.online_softmax_xent(hidden.astype(jnp.float32), decoder, bias,
+                                    labs)
+        count = jnp.sum((labs != -1).astype(jnp.float32), axis=-1)
+        out["lm_nll_sum"] = jnp.sum(nll, axis=-1)
+        out["lm_nll_mean"] = out["lm_nll_sum"] / jnp.maximum(count, 1.0)
+    return out

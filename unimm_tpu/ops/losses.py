@@ -1,0 +1,144 @@
+"""Training losses as a single XLA-friendly graph.
+
+Replicates the loss semantics of the reference
+(/root/reference/models/vilbert_dialog.py:1559-1624) with static shapes:
+the reference's boolean fancy-indexing (``w>0`` / ``w==-1`` row selection,
+:1581-1584) is rewritten as masked segment sums, which is numerically
+identical and compiles to fixed-shape TPU code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+CLAMP_MIN = 1e-6  # vilbert_dialog.py:1558
+
+
+def masked_lm_ul_loss(mlm_logits, labels, lm_weight):
+    """MLM likelihood + unlikelihood loss (vilbert_dialog.py:1577-1595).
+
+    Args:
+      mlm_logits: [N, L, V] float logits.
+      labels: [N, L] int; -1 = ignore ("masked_tokens" channel).
+      lm_weight: [N, L] float; >0 likelihood weight, -1 unlikelihood marker,
+        0 = no loss.
+    Returns scalar: (sum w*nll[w>0] + sum -log(1-p)[w==-1]) / count(w != 0).
+    """
+    logits = mlm_logits.astype(jnp.float32)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    safe_labels = jnp.maximum(labels, 0)
+    tok_logp = jnp.take_along_axis(
+        log_probs, safe_labels[..., None], axis=-1)[..., 0]
+    valid = labels != -1
+
+    w = lm_weight.astype(jnp.float32)
+    l_mask = (w > 0) & valid
+    ul_mask = (w == -1) & valid
+
+    l_sum = jnp.sum(jnp.where(l_mask, -tok_logp * w, 0.0))
+    # -log(clamp(1 - p, 1e-6)); log1p(-p) is not used to keep bit-parity with
+    # the reference clamp formulation.
+    p = jnp.exp(tok_logp)
+    ul_nll = -jnp.log(jnp.clip(1.0 - p, min=CLAMP_MIN))
+    ul_sum = jnp.sum(jnp.where(ul_mask, ul_nll, 0.0))
+
+    num_tokens = jnp.sum((w != 0).astype(jnp.float32))
+    return (l_sum + ul_sum) / jnp.maximum(num_tokens, 1.0)
+
+
+def nsp_loss(nsp_logits, labels, nsp_weight=None):
+    """Class-weighted NSP cross-entropy (vilbert_dialog.py:1605-1621).
+
+    torch.F.cross_entropy(weight=w) semantics: per-sample nll scaled by
+    w[label], mean = sum / sum(w[label]). nsp_weight is normalised by its
+    first element first (:1608).
+    """
+    logits = nsp_logits.astype(jnp.float32)
+    if nsp_weight is None:
+        w = jnp.ones((2,), jnp.float32)
+    else:
+        w = jnp.asarray(nsp_weight, jnp.float32).reshape(-1)[:2]
+        w = w / w[0]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    sample_w = w[labels]
+    return jnp.sum(nll * sample_w) / jnp.maximum(jnp.sum(sample_w), 1e-12)
+
+
+def masked_img_loss(img_logits, image_target, image_label):
+    """Masked-region KLD loss (vilbert_dialog.py:1569-1574):
+    KLDiv(log_softmax(logits), cls_prob target) summed over image_label==1
+    rows, divided by the number of such rows."""
+    logits = img_logits.astype(jnp.float32)
+    target = image_target.astype(jnp.float32)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    # torch KLDivLoss(reduction='none'): y * (log y - x), with 0*log0 = 0
+    kld = jnp.where(target > 0, target * (jnp.log(jnp.clip(target, min=1e-30))
+                                          - log_probs), 0.0)
+    sel = (image_label == 1).astype(jnp.float32)
+    num = jnp.sum(kld * sel[..., None])
+    den = jnp.maximum(jnp.sum(sel), 1.0)
+    return num / den
+
+
+def online_softmax_xent(hidden, decoder_weight, decoder_bias, labels,
+                        chunk: int = 2048):
+    """Cross-entropy over a large vocab WITHOUT materialising full logits.
+
+    Streams the [V, H] tied decoder in vocab chunks with a running
+    max/exp-sum (online softmax), so HBM holds only [N, P, chunk] at a time.
+    The reference materialises [N, 256, 30522] logits on every eval forward
+    (vilbert_dialog.py:1069, val_lm.py:131-134) — a large memory and
+    bandwidth cost this path avoids.
+
+    Args:
+      hidden: [..., H] transformed MLM hiddens at label positions.
+      decoder_weight: [V, H] tied word-embedding matrix.
+      decoder_bias: [V].
+      labels: [...] int; -1 = ignore.
+      chunk: vocab tile size (multiple of 128 for MXU alignment).
+    Returns: nll [...] float32, zero at ignored positions.
+    """
+    V, H = decoder_weight.shape
+    n_chunks = (V + chunk - 1) // chunk
+    pad_v = n_chunks * chunk - V
+    w = jnp.pad(decoder_weight, ((0, pad_v), (0, 0)))
+    b = jnp.pad(decoder_bias, (0, pad_v), constant_values=-1e30)
+    w = w.reshape(n_chunks, chunk, H)
+    b = b.reshape(n_chunks, chunk)
+
+    shape = hidden.shape[:-1]
+    h = hidden.reshape(-1, H)
+    lab = labels.reshape(-1)
+
+    def body(carry, xs):
+        run_max, run_sum, true_logit = carry
+        w_c, b_c, idx0 = xs
+        logits = (jnp.matmul(h, w_c.T,
+                             preferred_element_type=jnp.float32)
+                  + b_c[None, :])
+        c_max = jnp.max(logits, axis=-1)
+        new_max = jnp.maximum(run_max, c_max)
+        run_sum = run_sum * jnp.exp(run_max - new_max) + jnp.sum(
+            jnp.exp(logits - new_max[:, None]), axis=-1)
+        local = lab - idx0
+        in_chunk = (local >= 0) & (local < chunk)
+        picked = jnp.take_along_axis(
+            logits, jnp.clip(local, 0, chunk - 1)[:, None], axis=-1)[:, 0]
+        true_logit = jnp.where(in_chunk, picked, true_logit)
+        return (new_max, run_sum, true_logit), None
+
+    init = (jnp.full((h.shape[0],), -jnp.inf, jnp.float32),
+            jnp.zeros((h.shape[0],), jnp.float32),
+            jnp.zeros((h.shape[0],), jnp.float32))
+    idx0s = jnp.arange(n_chunks) * chunk
+    (m, s, t), _ = jax.lax.scan(body, init, (w, b, idx0s))
+    nll = (m + jnp.log(s)) - t
+    nll = jnp.where(lab == -1, 0.0, nll)
+    return nll.reshape(shape)
+
+
+def combine_losses(lm, img, nsp, lm_coeff=1.0, nsp_coeff=1.0, img_coeff=1.0):
+    """train.py:167-168."""
+    return lm_coeff * lm + nsp_coeff * nsp + img_coeff * img
