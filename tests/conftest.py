@@ -10,6 +10,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the axon TPU platform at
+# interpreter startup and exports JAX_PLATFORMS=axon, so the env var above is
+# not sufficient — force the platform through the config API as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: makes repeated test runs fast (the first eager
 # pass otherwise recompiles every primitive shape).

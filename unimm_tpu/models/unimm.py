@@ -121,10 +121,9 @@ def forward_eval(params, cfg: VilbertConfig, batch, *, dtype=jnp.bfloat16,
     if need_lm:
         pos, labs = label_positions(batch["mlm_labels"])
         hidden = vilbert.mlm_head_at_positions(params, cfg, t_seq, pos)
-        decoder = params["bert"]["embeddings"]["word_embeddings"]
-        bias = params["cls"]["predictions"]["bias"]
-        nll = L.online_softmax_xent(hidden.astype(jnp.float32), decoder, bias,
-                                    labs)
+        decoder = params["bert"]["embeddings"]["word_embeddings"].astype(dtype)
+        bias = params["cls"]["predictions"]["bias"].astype(jnp.float32)
+        nll = L.online_softmax_xent(hidden, decoder, bias, labs)
         count = jnp.sum((labs != -1).astype(jnp.float32), axis=-1)
         out["lm_nll_sum"] = jnp.sum(nll, axis=-1)
         out["lm_nll_mean"] = out["lm_nll_sum"] / jnp.maximum(count, 1.0)

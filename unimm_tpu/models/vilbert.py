@@ -57,6 +57,17 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def cast_floating(tree, dtype):
+    """Cast floating-point leaves to the compute dtype (bf16 on TPU) so every
+    matmul feeds the MXU at full rate; LayerNorm/softmax still accumulate in
+    fp32 internally."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 ACT = {"gelu": gelu, "relu": jax.nn.relu, "swish": jax.nn.swish}
 
 
@@ -265,6 +276,7 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
     Returns (sequence_t, sequence_v, pooled_t, pooled_v).
     """
     r = _Rng(rng)
+    params = cast_floating(params, dtype)
     p = params["bert"]
     t_x = text_embeddings(p["embeddings"], cfg, input_ids, token_type_ids,
                           position_ids, train=train, rng=r, dtype=dtype)
@@ -280,6 +292,7 @@ def pretraining_heads(params: Params, cfg: VilbertConfig, t_seq, v_seq,
     """BertPreTrainingHeads (vilbert_dialog.py:1049-1073): tied-decoder MLM
     logits, fused NSP logits, region-class logits."""
     r = _Rng(rng)
+    params = cast_floating(params, t_seq.dtype)
     pc = params["cls"]
     if cfg.fusion_method == "mul":
         pooled = pooled_t * pooled_v
@@ -310,7 +323,7 @@ def mlm_head_at_positions(params: Params, cfg: VilbertConfig, t_seq, positions):
     the full [B, L, vocab] logits the reference always computes
     (vilbert_dialog.py:1069). Returns transformed hiddens [B, P, H]; pair with
     ops.losses.online_softmax_xent for streaming NLL over the vocab."""
-    pp = params["cls"]["predictions"]
+    pp = cast_floating(params["cls"]["predictions"], t_seq.dtype)
     gathered = jnp.take_along_axis(t_seq, positions[..., None], axis=1)
     h = linear(pp["transform"]["dense"], gathered)
     h = gelu(h) if cfg.hidden_act == "gelu" else ACT[cfg.hidden_act](h)

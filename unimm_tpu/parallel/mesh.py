@@ -1,0 +1,112 @@
+"""Device mesh and sharding rules.
+
+The reference's only parallelism is single-process multi-GPU data parallel
+with hand-tuned uneven shard tables (/root/reference/utils/data_parallel.py:
+8-132). The TPU-native replacement is a ``jax.sharding.Mesh`` with two axes:
+
+* ``dp`` — data parallel over the flattened sequence axis (the natural
+  analogue of what ``scatter_imbalance`` splits); no imbalance hack is needed
+  because loss/metrics are computed on device and TPU cores are homogeneous;
+* ``mp`` — optional tensor parallel (Megatron-style column/row sharding of the
+  attention QKV / MLP matrices and vocab sharding of the embedding table),
+  expressed purely as sharding constraints — XLA GSPMD inserts the
+  all-reduce/all-gather collectives over ICI.
+
+Gradient reduction across ``dp`` is likewise inserted by the partitioner when
+the jitted train step consumes dp-sharded batches and produces replicated
+parameter updates.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP, MP = "dp", "mp"
+
+
+def make_mesh(n_devices: Optional[int] = None, mp: int = 1,
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    assert n_devices % mp == 0, (n_devices, mp)
+    arr = np.asarray(devices).reshape(n_devices // mp, mp)
+    return Mesh(arr, (DP, MP))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (flattened-sequence) axis over dp, replicate over mp."""
+    return NamedSharding(mesh, P(DP))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# -- tensor-parallel parameter layout ---------------------------------------
+
+def param_spec(path: Tuple[str, ...]) -> P:
+    """Megatron-style sharding rules keyed on the torch-mirroring path.
+
+    Column-parallel (shard output dim): QKV projections, FFN up-projection,
+    co-attention QKV. Row-parallel (shard input dim): attention output dense,
+    FFN down-projection, biOutput projections. Vocab-shard the embedding
+    table. Everything small is replicated.
+    """
+    name = ".".join(path)
+    if path[-1] != "kernel":
+        if path[-1] == "word_embeddings":
+            return P(MP, None)
+        return P()
+    col = (".self.query.", ".self.key.", ".self.value.", "intermediate.dense",
+           "biattention.query", "biattention.key", "biattention.value")
+    row = ("attention.output.dense", ".output.dense", "biOutput.dense",
+           "biOutput.q_dense")
+    if any(s in name or name.endswith(s.strip(".")) for s in col):
+        return P(None, MP)
+    if any(s in name for s in row):
+        return P(MP, None)
+    return P()
+
+
+def _spec_tree(params):
+    def rec(node, path):
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        return param_spec(path)
+    return rec(params, ())
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for the parameter tree (divisibility-checked:
+    falls back to replication when a dim doesn't divide the mp axis)."""
+    mp_size = mesh.shape[MP]
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        spec = param_spec(path)
+        for dim, axis in enumerate(spec):
+            if axis == MP and node.shape[dim] % mp_size != 0:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
+
+    return rec(params, ())
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings), shardings
+
+
+def shard_batch(batch, mesh: Mesh):
+    s = batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
