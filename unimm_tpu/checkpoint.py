@@ -69,9 +69,13 @@ def name_map(params) -> Dict[str, Tuple[str, ...]]:
 
 def _normalize_key(k: str) -> str:
     """Strip wrapper prefixes and legacy names (vilbert_dialog.py:1234-1246)."""
-    for prefix in ("bert_pretrained.", "module.", "module.bert_pretrained."):
-        if k.startswith(prefix):
-            k = k[len(prefix):]
+    changed = True
+    while changed:
+        changed = False
+        for prefix in ("module.", "bert_pretrained."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+                changed = True
     k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
     return k
 
