@@ -86,7 +86,7 @@ def make_feature_records(rng, image_ids, feat_dim=2048, n_classes=1601,
     return records
 
 
-def write_fixture_tree(root, n_train=4, n_val=3, n_test=2, seed=0):
+def write_fixture_tree(root, n_train=6, n_val=3, n_test=2, seed=0):
     """Write a full synthetic data tree + params dict pointing at it."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
@@ -94,6 +94,10 @@ def write_fixture_tree(root, n_train=4, n_val=3, n_test=2, seed=0):
     val = make_visdial_json(rng, n_val)
     test = make_visdial_json(rng, n_test, with_round_id=True)
     val_dense = make_dense_annotations(rng, val)
+    # pad so overfit mode (val := train, dataloader_visdial.py:107-108) can
+    # still index a dense entry per item, as the real 2064-entry file does
+    while len(val_dense) < n_train:
+        val_dense.append(dict(val_dense[len(val_dense) % n_val]))
     train_dense_ann = make_dense_annotations(rng, train)
 
     paths = {}
@@ -126,6 +130,18 @@ def write_fixture_tree(root, n_train=4, n_val=3, n_test=2, seed=0):
                  [d["image_id"] for d in val["data"]["dialogs"]] +
                  [d["image_id"] for d in test["data"]["dialogs"]])
     records = make_feature_records(rng, image_ids, feat_dim=64, n_classes=32)
+
+    # also write an .npz so CLIs can be driven from a real shell command
+    arrays = {}
+    for i, rec in records.items():
+        arrays[f"{i}_features"] = rec["features"]
+        arrays[f"{i}_boxes"] = rec["boxes"]
+        arrays[f"{i}_cls_prob"] = rec["cls_prob"]
+        arrays[f"{i}_hw"] = np.asarray([rec["image_h"], rec["image_w"]],
+                                       np.int32)
+    npz_path = os.path.join(root, "features.npz")
+    np.savez(npz_path, **arrays)
+    paths["visdial_image_feats"] = npz_path
     return paths, tok, DictFeatureReader(records)
 
 

@@ -1,0 +1,133 @@
+"""End-to-end CLI smoke tests on the synthetic fixture tree with a tiny model
+config — every entry point runs its full flow in-process."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests import fixtures
+
+TINY_MODEL_JSON = {
+    "attention_probs_dropout_prob": 0.1, "hidden_act": "gelu",
+    "hidden_dropout_prob": 0.1, "hidden_size": 32, "initializer_range": 0.02,
+    "intermediate_size": 64, "max_position_embeddings": 128,
+    "num_attention_heads": 2, "num_hidden_layers": 2, "type_vocab_size": 2,
+    "vocab_size": 205, "v_feature_size": 64, "v_target_size": 32,
+    "v_hidden_size": 24, "v_num_hidden_layers": 2, "v_num_attention_heads": 2,
+    "v_intermediate_size": 48, "bi_hidden_size": 16,
+    "bi_num_attention_heads": 2, "v_biattention_id": [1],
+    "t_biattention_id": [1], "fusion_method": "mul",
+}
+
+
+@pytest.fixture(scope="module")
+def cli_world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    paths, tok, reader = fixtures.write_fixture_tree(str(root))
+    model_cfg = root / "tiny_model.json"
+    model_cfg.write_text(json.dumps(TINY_MODEL_JSON))
+
+    # make the feature reader reachable through a path: monkeypatch
+    # open_features to return the in-memory reader for this path token
+    from unimm_tpu.cli import common
+    sentinel = str(root / "feats.dict")
+    orig = common.open_reader
+    common.open_reader = lambda p: reader
+    yield {
+        "root": str(root), "paths": paths, "model_cfg": str(model_cfg),
+        "sentinel": sentinel,
+    }
+    common.open_reader = orig
+
+
+def _argv(world, extra):
+    p = world["paths"]
+    argv = [
+        "-visdial_processed_train", p["visdial_processed_train"],
+        "-visdial_processed_val", p["visdial_processed_val"],
+        "-visdial_processed_test", p["visdial_processed_test"],
+        "-visdial_processed_train_dense", p["visdial_processed_train_dense"],
+        "-visdial_processed_train_dense_annotations",
+        p["visdial_processed_train_dense_annotations"],
+        "-visdial_processed_val_dense_annotations",
+        p["visdial_processed_val_dense_annotations"],
+        "-visdial_image_feats", world["sentinel"],
+        "-vocab_path", p["vocab_path"],
+        "-model_config", world["model_cfg"],
+        "-max_seq_len", "96", "-num_options", "20",
+        "-num_workers", "2", "-eval_chunk", "64", "-dtype", "float32",
+        "-save_path", os.path.join(world["root"], "ckpt"),
+        "-language_weights", "/nonexistent",
+    ]
+    return argv + extra
+
+
+def test_val_lm_cli(cli_world):
+    from unimm_tpu.cli import val_lm
+    os.chdir(cli_world["root"])
+    metrics = val_lm.main(_argv(cli_world, ["-val_dis", "0",
+                                            "-save_name", "t_val_lm"]))
+    assert 0 <= metrics["ndcg"] <= 1
+    assert metrics["mean"] > 1
+    pred = os.path.join(cli_world["root"], "t_val_lm_predictions.txt")
+    assert os.path.exists("t_val_lm_predictions.txt")
+    ranks = json.load(open("t_val_lm_predictions.txt"))
+    assert len(ranks) == 3 * 10 and len(ranks[0]["ranks"]) == 20
+
+
+def test_val_avg_lm_cli(cli_world):
+    from unimm_tpu.cli import val_avg_lm
+    os.chdir(cli_world["root"])
+    metrics = val_avg_lm.main(_argv(cli_world, ["-val_dis", "0",
+                                                "-save_name", "t_avg"]))
+    assert 0 <= metrics["ndcg"] <= 1
+
+
+def test_train_cli_overfit(cli_world):
+    from unimm_tpu.cli import train
+    os.chdir(cli_world["root"])
+    state = train.main(_argv(cli_world, [
+        "-overfit", "-num_epochs", "1", "-batch_size", "12",
+        "-sequences_per_image", "6", "-num_negative_samples", "1",
+        "-eval_every_epochs", "1", "-save_name", "t_train"]))
+    assert int(np.asarray(state["step"])) > 0
+    ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_train")
+    files = os.listdir(ckpt_dir)
+    assert any(f.endswith(".ckpt") for f in files)
+    assert "native" in files
+
+
+def test_train_then_val_from_checkpoint(cli_world):
+    from unimm_tpu.cli import val
+    os.chdir(cli_world["root"])
+    ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_train")
+    ckpt = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")][0]
+    metrics = val.main(_argv(cli_world, [
+        "-model_paths", os.path.join(ckpt_dir, ckpt),
+        "-save_name", "t_val_ens"]))
+    assert "ndcg" in metrics
+
+
+def test_evaluate_cli(cli_world):
+    from unimm_tpu.cli import evaluate
+    os.chdir(cli_world["root"])
+    ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_train")
+    ckpt = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")][0]
+    evaluate.main(_argv(cli_world, [
+        "-model_paths", os.path.join(ckpt_dir, ckpt),
+        "-save_name", "t_eval"]))
+    ranks = json.load(open("t_eval_predictions.txt"))
+    assert len(ranks) == 2           # 2 test dialogs
+    assert len(ranks[0]["ranks"]) == 100
+    assert ranks[0]["round_id"] == 10
+
+
+def test_dense_finetune_cli(cli_world):
+    from unimm_tpu.cli import dense_finetune
+    os.chdir(cli_world["root"])
+    state = dense_finetune.main(_argv(cli_world, [
+        "-overfit", "-num_epochs", "1", "-batch_multiply", "2",
+        "-save_name", "t_dense"]))
+    assert int(np.asarray(state["step"])) > 0

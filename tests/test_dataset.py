@@ -19,7 +19,7 @@ def test_train_item_shapes_and_invariants(world):
     params, tok, reader = world
     ds = D.VisdialDataset(params, tok, reader)
     ds.split = "train"
-    assert len(ds) == 4
+    assert len(ds) == 6
     item = ds[0]
     R, S, L = 10, 1 + params["num_negative_samples"], params["max_seq_len"]
     assert item["tokens"].shape == (R, S, L)

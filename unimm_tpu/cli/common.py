@@ -1,0 +1,77 @@
+"""Shared CLI wiring: config/tokenizer/reader/model/checkpoint setup."""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unimm_tpu import checkpoint as C
+from unimm_tpu.config import VilbertConfig
+from unimm_tpu.data import features
+from unimm_tpu.data.tokenizer import WordPieceTokenizer
+from unimm_tpu.models import vilbert
+
+
+def setup_jax(params: dict):
+    cache = os.environ.get("UNIMM_JAX_CACHE", "/tmp/unimm_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+def build_config(params: dict) -> VilbertConfig:
+    cfg = VilbertConfig.from_json_file(params["model_config"])
+    return cfg.replace(max_seq_len=params["max_seq_len"],
+                       attention_impl=params.get("attention_impl", "xla"))
+
+
+def load_tokenizer(params: dict) -> WordPieceTokenizer:
+    return WordPieceTokenizer.from_vocab_file(params["vocab_path"])
+
+
+def open_reader(params: dict):
+    return features.open_features(params["visdial_image_feats"])
+
+
+def compute_dtype(params: dict):
+    return jnp.bfloat16 if params.get("dtype", "bfloat16") == "bfloat16" \
+        else jnp.float32
+
+
+def init_model(params: dict, cfg: VilbertConfig):
+    model_params = vilbert.init_params(
+        jax.random.PRNGKey(params.get("seed", 0)), cfg)
+    if params.get("start_path"):
+        model_params = load_any_checkpoint(params["start_path"], model_params)
+    return model_params
+
+
+def load_any_checkpoint(path: str, template):
+    """Load either a reference-format .ckpt or an Orbax directory."""
+    if os.path.isdir(path):
+        return C.restore_native(path, template)
+    restored, iter_id, n, skipped = C.load_reference_ckpt(path, template)
+    print(f"number of keys transferred {n}"
+          + (f" (skipped {len(skipped)})" if skipped else ""))
+    assert n > 0
+    return restored
+
+
+def load_ensemble(params: dict, template) -> List:
+    paths = [p for p in params.get("model_paths", "").split(",") if p]
+    if not paths and params.get("start_path"):
+        paths = [params["start_path"]]
+    assert paths, "provide -model_paths or -start_path"
+    return [load_any_checkpoint(p, template) for p in paths]
+
+
+def print_metrics(metrics: dict):
+    for name, value in metrics.items():
+        print(f"{name}: {value}")

@@ -1,0 +1,164 @@
+"""Phase-2 dense-annotation finetuning.
+
+TPU-native equivalent of /root/reference/dense_annotation_finetuning.py:
+one image per step, all 100 candidates of the annotated round, loss =
+neuralNDCG_transposed(softmax(nsp)[:, 0], relevance) + lm + nsp_coeff * nsp
+(:263-294), gradient accumulation via batch_multiply (default 16 in the
+paper recipe), option order shuffled per step with the GT first (:163-166).
+
+Usage: python -m unimm_tpu.cli.dense_finetune -batch_multiply 16 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unimm_tpu import checkpoint as C
+from unimm_tpu.cli import common, options
+from unimm_tpu.config import VilbertConfig
+from unimm_tpu.data.dataset import (VisdialDataset, VisdialDatasetDense,
+                                    flatten_for_forward)
+from unimm_tpu.data.loader import DataLoader, batch_iter
+from unimm_tpu.eval import evaluator
+from unimm_tpu.models import unimm, vilbert
+from unimm_tpu.ops import losses as L
+from unimm_tpu.ops import rank_loss as RL
+from unimm_tpu.parallel import mesh as pmesh
+from unimm_tpu.train import optim
+from unimm_tpu.utils.logging import MetricsLogger
+
+
+def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
+                    dtype=jnp.bfloat16):
+    """One jitted step: forward + (rank + lm + nsp) loss + update.
+    batch is flat [100, ...]; gt_relevance [100] (already permuted)."""
+
+    def step(state, batch, gt_relevance):
+        rng = jax.random.fold_in(state["rng"], state["step"])
+
+        def loss_fn(params):
+            r_enc, r_head = jax.random.split(rng)
+            t_seq, v_seq, pt, pv = unimm.encode(
+                params, cfg, batch, train=True, rng=r_enc, dtype=dtype)
+            mlm_logits, img_logits, nsp_logits = vilbert.pretraining_heads(
+                params, cfg, t_seq, v_seq, pt, pv, train=True, rng=r_head)
+            lm = L.masked_lm_ul_loss(mlm_logits, batch["mlm_labels"],
+                                     batch["lm_weight"])
+            nsp = L.nsp_loss(nsp_logits, batch["next_sentence_label"], None)
+            nsp_probs = jax.nn.softmax(
+                nsp_logits.astype(jnp.float32), axis=-1)[:, 0]
+            rank = RL.neuralNDCG_transposed(nsp_probs[None, :],
+                                            gt_relevance[None, :])
+            # the reference drops the lm term when it is NaN (:291-294)
+            lm_term = jnp.where(jnp.isnan(lm), 0.0, lm)
+            total = rank + lm_term + nsp_coeff * nsp
+            return total, {"loss": total, "lm_loss": lm, "nsp_loss": nsp,
+                           "rank_loss": rank}
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"])
+        updates, new_opt = tx.update(grads, state["opt_state"],
+                                     state["params"])
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state["params"], updates)
+        return {"params": new_params, "opt_state": new_opt,
+                "step": state["step"] + 1, "rng": state["rng"]}, parts
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def main(argv=None):
+    params = options.read_command_line(argv)
+    common.setup_jax(params)
+    os.makedirs(params["save_path"], exist_ok=True)
+    viz = MetricsLogger(os.path.join(params["save_path"], "logs"))
+    cfg = common.build_config(params)
+    tokenizer = common.load_tokenizer(params)
+    reader = common.open_reader(params)
+
+    params = dict(params, num_options=100)
+    dataset = VisdialDatasetDense(params, tokenizer, reader)
+    loader = DataLoader(dataset, 1, shuffle=True, drop_last=True,
+                        num_workers=params["num_workers"],
+                        seed=params["seed"])
+    eval_dataset = VisdialDataset(params, tokenizer, reader)
+    eval_dataset.split = "val"
+    num_iter_epoch = max(len(loader), 1) if not params["overfit"] else 1
+    print(f"\n{num_iter_epoch} iter per epoch.")
+
+    mesh = pmesh.make_mesh(mp=params["mesh_mp"])
+    model_params = common.init_model(params, cfg)
+    model_params, _ = pmesh.shard_params(model_params, mesh)
+    lang = None
+    if os.path.exists(params["language_weights"]):
+        lang = optim.load_language_weights(params["language_weights"])
+    ocfg = optim.OptimConfig(lr=params["lr"], image_lr=params["image_lr"],
+                             batch_multiply=params["batch_multiply"])
+    tx = optim.make_optimizer(model_params, ocfg, lang)
+    state = {"params": model_params, "opt_state": tx.init(model_params),
+             "step": jnp.zeros((), jnp.int32),
+             "rng": jax.random.PRNGKey(params["seed"])}
+    dense_step = make_dense_step(cfg, tx, nsp_coeff=params["nsp_loss_coeff"],
+                                 dtype=common.compute_dtype(params))
+
+    host_rng = np.random.default_rng(params["seed"])
+    start_t = time.perf_counter()
+    for epoch_id, idx, batch in batch_iter(loader, params["num_epochs"]):
+        iter_id = idx + epoch_id * num_iter_epoch
+
+        # shuffle options with GT first (dense_annotation_finetuning.py:163-166)
+        gt = int(batch["gt_option"][0])
+        others = np.concatenate([np.arange(gt), np.arange(gt + 1, 100)])
+        order = np.concatenate([[gt], host_rng.permutation(others)])
+        flat = flatten_for_forward(
+            {k: (v[:, :, order] if k in
+                 ("tokens", "segments", "positions", "sep_indices",
+                  "mlm_labels", "lm_weight", "mode", "ctx_end", "ans_len",
+                  "hist_len", "next_sentence_label") else v)
+             for k, v in batch.items() if k not in
+             ("gt_relevance", "gt_option", "round_id", "image_id")})
+        gt_rel = np.asarray(batch["gt_relevance"][0])[order]
+        flat = pmesh.shard_batch(flat, mesh)
+        state, parts = dense_step(state, flat, jnp.asarray(gt_rel))
+
+        if iter_id % 10 == 0:
+            m = {k: float(v) for k, v in parts.items()}
+            dt = time.perf_counter() - start_t
+            start_t = time.perf_counter()
+            print(f"[Ep: {epoch_id:.2f}][Iter: {iter_id}][Time: {dt:5.2f}s]"
+                  f"[loss: {m['loss']:.3g}][LM Loss: {m['lm_loss']:.3g}]"
+                  f"[NSP Loss: {m['nsp_loss']:.3g}]"
+                  f"[neuralNDCG_transposed loss: {m['rank_loss']:.3g}]")
+            for k, v in m.items():
+                viz.line_plot(iter_id, v, "loss", k)
+
+        epoch_len = 100 if params["overfit"] else num_iter_epoch
+        if iter_id % epoch_len == 0 and iter_id > 0:
+            C.save_reference_ckpt(
+                os.path.join(params["save_path"],
+                             f"visdial_dialog_encoder_{iter_id}.ckpt"),
+                jax.device_get(state["params"]), iter_id)
+            if iter_id // epoch_len >= 2:
+                eval_loader = DataLoader(
+                    eval_dataset, 5 if params["overfit"] else 4,
+                    shuffle=False, drop_last=True,
+                    num_workers=params["num_workers"])
+                mets = evaluator.evaluate_split(
+                    state["params"], cfg, eval_loader, mode="nsp",
+                    chunk_size=params["eval_chunk"],
+                    dtype=common.compute_dtype(params))
+                for name, value in mets.items():
+                    print(f"{name}: {value}")
+    viz.close()
+    return state
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,107 @@
+"""Command-line flags: the reference's single-dash argparse surface
+(/root/reference/options.py:7-105) preserved verbatim, plus TPU-native
+additions (vocab path, mesh shape, dtype, chunk size).
+
+Flags kept for CLI compatibility but without effect on TPU are accepted and
+noted in their help strings (visdom server flags, n_gpus -> mesh size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from time import gmtime, strftime
+
+
+def read_command_line(argv=None) -> dict:
+    parser = argparse.ArgumentParser(
+        description="TPU-native UniMM-UL visual dialog")
+
+    # ---- data ----
+    parser.add_argument('-visdial_processed_train',
+                        default='data/visdial/visdial_1.0_train_processed.json')
+    parser.add_argument('-visdial_processed_val',
+                        default='data/visdial/visdial_1.0_val_processed.json')
+    parser.add_argument('-visdial_processed_test',
+                        default='data/visdial/visdial_1.0_test_processed.json')
+    parser.add_argument('-visdial_image_feats',
+                        default='data/visdial/visdial_img_feat.lmdb')
+    parser.add_argument('-visdial_processed_train_dense',
+                        default='data/visdial/visdial_1.0_train_dense_processed.json')
+    parser.add_argument('-visdial_processed_train_dense_annotations',
+                        default='data/visdial/visdial_1.0_train_dense_annotations_processed.json')
+    parser.add_argument('-visdial_processed_val_dense_annotations',
+                        default='data/visdial/visdial_1.0_val_dense_annotations_processed.json')
+    parser.add_argument('-start_path', default='',
+                        help='checkpoint to start from (.ckpt torch format or orbax dir)')
+    parser.add_argument('-model_config',
+                        default='config/bert_base_6layer_6conect.json')
+    parser.add_argument('-model_paths', default='',
+                        help='comma-separated checkpoints for ensemble eval '
+                             '(replaces the reference\'s hard-coded paths)')
+
+    # ---- logging (visdom flags accepted for compatibility; logging goes to
+    # stdout + CSV/TensorBoard on TPU) ----
+    parser.add_argument('-enable_visdom', type=int, default=0)
+    parser.add_argument('-visdom_env', type=str, default='pretrain')
+    parser.add_argument('-visdom_server', type=str, default='http://127.0.0.1')
+    parser.add_argument('-visdom_server_port', type=int, default=8097)
+
+    # ---- optimization / environment ----
+    parser.add_argument('-num_workers', default=8, type=int)
+    parser.add_argument('-batch_size', default=80, type=int)
+    parser.add_argument('-num_epochs', default=400, type=int)
+    parser.add_argument('-batch_multiply', default=1, type=int)
+    parser.add_argument('-lr', default=2e-5, type=float)
+    parser.add_argument('-image_lr', default=2e-5, type=float)
+    parser.add_argument('-overfit', action='store_true')
+    parser.add_argument('-continue', action='store_true')
+    parser.add_argument('-num_train_samples', default=0, type=int)
+    parser.add_argument('-num_val_samples', default=0, type=int)
+    parser.add_argument('-num_options', default=100, type=int)
+    parser.add_argument('-n_gpus', default=1, type=int,
+                        help='kept for CLI parity; = number of mesh devices')
+    parser.add_argument('-sequences_per_image', default=8, type=int)
+    parser.add_argument('-visdial_tot_rounds', default=11, type=int)
+    parser.add_argument('-max_seq_len', default=256, type=int)
+    parser.add_argument('-num_negative_samples', default=1, type=int)
+    parser.add_argument('-neg_token_weight', default=1, type=int)
+    parser.add_argument('-lm_loss_coeff', default=1, type=float)
+    parser.add_argument('-nsp_loss_coeff', default=1, type=float)
+    parser.add_argument('-img_loss_coeff', default=1, type=float)
+    parser.add_argument('-mask_prob', default=0.15, type=float)
+    parser.add_argument('-train_dis_rate', default=0.5, type=float)
+    parser.add_argument('-val_dis', default=1, type=int)
+    parser.add_argument('-test_dis', default=1, type=int)
+    parser.add_argument('-save_path', default='checkpoints/')
+    parser.add_argument('-save_name', default='')
+
+    # ---- TPU-native ----
+    parser.add_argument('-vocab_path', default='config/vocab.txt',
+                        help='WordPiece vocab file (bert-base-uncased layout)')
+    parser.add_argument('-mesh_mp', default=1, type=int,
+                        help='tensor-parallel mesh axis size')
+    parser.add_argument('-eval_chunk', default=256, type=int,
+                        help='sequences per jitted eval forward')
+    parser.add_argument('-dtype', default='bfloat16',
+                        choices=['bfloat16', 'float32'])
+    parser.add_argument('-seed', default=0, type=int)
+    parser.add_argument('-save_every_epochs', default=1, type=int)
+    parser.add_argument('-eval_every_epochs', default=10, type=int)
+    parser.add_argument('-language_weights',
+                        default='config/language_weights.json')
+
+    parsed = vars(parser.parse_args(args=argv))
+    if parsed['save_name']:
+        parsed['save_path'] = os.path.join(parsed['save_path'],
+                                           parsed['save_name'])
+    else:
+        stamp = strftime('%d-%b-%y-%X-%a', gmtime())
+        parsed['save_path'] = os.path.join(
+            parsed['save_path'],
+            stamp + '_{:0>6d}{}'.format(random.randint(0, int(10e6)),
+                                        parsed['visdom_env']))
+    assert parsed['sequences_per_image'] <= 100
+    assert parsed['visdial_tot_rounds'] <= 11
+    return parsed

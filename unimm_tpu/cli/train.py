@@ -1,0 +1,142 @@
+"""Sparse-annotation unified training (UniMM / UniMM-UL).
+
+TPU-native equivalent of /root/reference/train.py:292-543: per-image items of
+10 rounds x (1 positive + N negatives), per-sequence dis/gen mode by
+train_dis_rate, subsampled to ``batch_size`` sequences, one jitted
+forward+losses+backward+update step on a dp(x mp) mesh, checkpoint every
+epoch, discriminative val ranking every ``eval_every_epochs``.
+
+Usage: python -m unimm_tpu.cli.train -batch_size 240 -lr 2e-5 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unimm_tpu import checkpoint as C
+from unimm_tpu.cli import common, options
+from unimm_tpu.data.dataset import VisdialDataset, flatten_for_forward
+from unimm_tpu.data.loader import DataLoader
+from unimm_tpu.eval import evaluator
+from unimm_tpu.parallel import mesh as pmesh
+from unimm_tpu.train import optim, step as tstep
+from unimm_tpu.utils.logging import MetricsLogger
+
+
+def main(argv=None):
+    params = options.read_command_line(argv)
+    common.setup_jax(params)
+    os.makedirs(params["save_path"], exist_ok=True)
+    viz = MetricsLogger(os.path.join(params["save_path"], "logs"))
+    print({k: v for k, v in sorted(params.items())})
+
+    cfg = common.build_config(params)
+    tokenizer = common.load_tokenizer(params)
+    reader = common.open_reader(params)
+
+    dataset = VisdialDataset(params, tokenizer, reader)
+    dataset.split = "train"
+    images_per_batch = (params["batch_size"] // params["sequences_per_image"]
+                        or 1) if not params["overfit"] else 5
+    images_per_batch = min(images_per_batch, max(1, len(dataset)))
+    loader = DataLoader(dataset, images_per_batch, shuffle=True,
+                        drop_last=True, num_workers=params["num_workers"],
+                        seed=params["seed"])
+    num_iter_epoch = max(len(loader), 1)
+    print(f"\n{len(dataset)} train data.")
+    print(f"\n{num_iter_epoch} iter per epoch.")
+
+    mesh = pmesh.make_mesh(mp=params["mesh_mp"])
+    model_params = common.init_model(params, cfg)
+    model_params, _ = pmesh.shard_params(model_params, mesh)
+
+    lang = None
+    if os.path.exists(params["language_weights"]):
+        lang = optim.load_language_weights(params["language_weights"])
+    ocfg = optim.OptimConfig(lr=params["lr"], image_lr=params["image_lr"],
+                             batch_multiply=params["batch_multiply"])
+    tx = optim.make_optimizer(model_params, ocfg, lang)
+    state = tstep.init_state(model_params, tx, seed=params["seed"])
+
+    start_iter = 0
+    if params["continue"] and params["start_path"]:
+        latest = C.latest_native(params["start_path"])
+        if latest:
+            path, step_no = latest
+            state = C.restore_native(path, state)
+            start_iter = int(np.asarray(state["step"]))
+            print(f"restored native checkpoint at step {start_iter}")
+
+    train_step = tstep.make_train_step(
+        cfg, tx, lm_coeff=params["lm_loss_coeff"],
+        nsp_coeff=params["nsp_loss_coeff"], img_coeff=params["img_loss_coeff"],
+        dtype=common.compute_dtype(params))
+    nsp_weight = jnp.asarray([float(params["num_negative_samples"]), 1.0])
+
+    sample_size = 48 if params["overfit"] else params["batch_size"]
+    host_rng = np.random.default_rng(params["seed"])
+
+    iter_id = start_iter
+    start_t = time.perf_counter()
+    for epoch_id in range(1, params["num_epochs"] + 1):
+        loader.set_epoch(epoch_id)
+        for batch in loader:
+            iter_id += 1
+            flat = flatten_for_forward(batch, sample_size=sample_size,
+                                       rng=host_rng)
+            flat = pmesh.shard_batch(flat, mesh)
+            state, metrics = train_step(state, flat, nsp_weight)
+
+            if iter_id % 100 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - start_t
+                start_t = time.perf_counter()
+                print(f"[Ep: {iter_id / num_iter_epoch:.2f}][Iter: {iter_id}]"
+                      f"[Time: {dt:5.2f}s]"
+                      f"[NSP + LM Loss: {m['lm_loss'] + m['nsp_loss']:.3g}]"
+                      f"[LM Loss: {m['lm_loss']:.3g}]"
+                      f"[NSP Loss: {m['nsp_loss']:.3g}]"
+                      f"[IMG Loss: {m['img_loss']:.3g}]")
+                viz.line_plot(iter_id, m["loss"], "loss", "tot loss")
+                viz.line_plot(iter_id, m["lm_loss"], "loss", "lm loss")
+                viz.line_plot(iter_id, m["nsp_loss"], "loss", "nsp loss")
+                viz.line_plot(iter_id, m["img_loss"], "loss", "img loss")
+            if params["overfit"] and iter_id % 100 == 0:
+                break
+
+        if epoch_id % params["save_every_epochs"] == 0:
+            C.save_native(os.path.join(params["save_path"], "native"),
+                          jax.device_get(state), iter_id)
+            C.save_reference_ckpt(
+                os.path.join(params["save_path"],
+                             f"visdial_dialog_encoder_{iter_id}.ckpt"),
+                jax.device_get(state["params"]), iter_id)
+
+        if epoch_id % params["eval_every_epochs"] == 0:
+            dataset.split = "val"
+            eval_loader = DataLoader(dataset, 5 if params["overfit"] else 4,
+                                     shuffle=False, drop_last=True,
+                                     num_workers=params["num_workers"])
+            all_metrics = evaluator.evaluate_split(
+                state["params"], cfg, eval_loader, mode="nsp",
+                chunk_size=params["eval_chunk"],
+                dtype=common.compute_dtype(params))
+            for name, value in all_metrics.items():
+                print(f"{name}: {value}")
+                key = ("Retrieval Round Val Metrics" if "round" in name
+                       else "Retrieval Val Metrics")
+                viz.line_plot(iter_id, value, key, name)
+            dataset.split = "train"
+    viz.close()
+    return state
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

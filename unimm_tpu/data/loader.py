@@ -1,0 +1,104 @@
+"""Lightweight prefetching data loader.
+
+Replaces the reference's torch DataLoader worker processes
+(/root/reference/train.py:309-316) with a thread pool building items ahead of
+consumption plus device-side prefetch of the next batch while the current one
+computes — keeping the TPU fed without a torch dependency. Encoding is
+numpy-bound (no GIL-heavy Python loops in the hot path), so threads are
+sufficient; the heavy O(L^2) mask work that justified worker processes in the
+reference no longer exists host-side at all.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, *, shuffle=False,
+                 drop_last=False, num_workers: int = 4, seed: int = 0,
+                 collate_fn: Optional[Callable] = None, prefetch: int = 2):
+        from unimm_tpu.data.dataset import collate
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.collate = collate_fn or collate
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        batches = [order[i: i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                # pipeline item construction across batches
+                futures = [
+                    [pool.submit(self.dataset.__getitem__, int(i))
+                     for i in idxs] for idxs in batches]
+                for fs in futures:
+                    if stop.is_set():
+                        for f in fs:
+                            f.cancel()
+                        continue
+                    try:
+                        q.put(self.collate([f.result() for f in fs]))
+                    except Exception as e:  # surfaced to the consumer
+                        q.put(e)
+                        break
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def batch_iter(loader: DataLoader, num_epochs: int):
+    """Infinite-epoch iterator (utils/data_utils.py:52-55 equivalent)."""
+    for epoch in range(num_epochs):
+        loader.set_epoch(epoch)
+        for idx, batch in enumerate(loader):
+            yield epoch, idx, batch

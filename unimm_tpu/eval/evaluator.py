@@ -1,0 +1,184 @@
+"""Candidate-ranking evaluation: the framework's flagship serving path.
+
+Covers all four reference eval modes in one engine:
+* generative sequence log-likelihood ranking   (val_lm.py:121-143)
+* generative token-averaged log-likelihood     (val_avg_lm.py:120-148)
+* discriminative NSP-probability ranking       (train.py:180-290 visdial_evaluate)
+* multi-model ensemble with per-slate min-max normalisation
+  (val.py:151-164, evaluate.py:108-118)
+
+TPU-native structure: all candidates of a batch of dialogs are flattened to
+one [N, L] descriptor batch, processed by ONE jitted forward per fixed-size
+chunk (padded, so only two executable shapes ever compile), with the
+answer-token NLL computed at gathered label positions via online softmax —
+the reference instead runs 250-sequence chunks that each materialise
+[250, 256, 30522] logits and a Python rank loop.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unimm_tpu.config import VilbertConfig
+from unimm_tpu.models import unimm
+from unimm_tpu.ops import metrics as M
+
+_EVAL_KEYS = ("tokens", "segments", "mode", "ctx_end", "ans_len",
+              "mlm_labels", "image_feat", "image_loc", "image_mask")
+
+
+class RankingEvaluator:
+    def __init__(self, cfg: VilbertConfig, *, chunk_size: int = 256,
+                 dtype=jnp.bfloat16, need_lm=True, need_nsp=True):
+        self.cfg = cfg
+        self.chunk = chunk_size
+        self.dtype = dtype
+
+        def fwd(params, batch):
+            out = unimm.forward_eval(params, cfg, batch, dtype=dtype,
+                                     need_lm=need_lm, need_nsp=need_nsp)
+            res = {}
+            if need_nsp:
+                # P(next) = softmax(logits)[:, 0]  (train.py:261-263)
+                res["nsp_prob"] = jax.nn.softmax(
+                    out["nsp_logits"], axis=-1)[:, 0]
+            if need_lm:
+                res["ll_sum"] = -out["lm_nll_sum"]
+                res["ll_mean"] = -out["lm_nll_mean"]
+            return res
+
+        self._fwd = jax.jit(fwd)
+
+    def score_flat(self, params, flat: Dict[str, np.ndarray]) -> dict:
+        """Score a flat [N, ...] batch in fixed-size padded chunks."""
+        N = flat["tokens"].shape[0]
+        outs: List[dict] = []
+        for s in range(0, N, self.chunk):
+            e = min(s + self.chunk, N)
+            chunk = {k: flat[k][s:e] for k in _EVAL_KEYS if k in flat}
+            pad = self.chunk - (e - s)
+            if pad:
+                chunk = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
+                    chunk.items()}
+            res = self._fwd(params, {k: jnp.asarray(v)
+                                     for k, v in chunk.items()})
+            res = {k: np.asarray(v)[: e - s] for k, v in res.items()}
+            outs.append(res)
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
+                   chunk_size: int = 256, dtype=jnp.bfloat16,
+                   ranks_out: Optional[list] = None,
+                   progress_every: int = 10, log=print) -> dict:
+    """Run ranking eval over a val loader.
+
+    mode: 'nsp' (discriminative), 'll_sum' (val_lm), 'll_mean' (val_avg_lm).
+    Returns the metric dict (R@k/mean/MRR (+rounds) + NDCG).
+    """
+    from unimm_tpu.data.dataset import flatten_for_forward
+
+    need_lm = mode in ("ll_sum", "ll_mean")
+    ev = RankingEvaluator(cfg, chunk_size=chunk_size, dtype=dtype,
+                          need_lm=need_lm, need_nsp=not need_lm)
+    sparse = M.SparseGTMetrics()
+    ndcg = M.NDCG()
+    for batch_idx, batch in enumerate(loader, start=1):
+        B, R, O = batch["tokens"].shape[:3]
+        flat = flatten_for_forward(batch, train=False)
+        scores = ev.score_flat(params, flat)
+        key = "nsp_prob" if mode == "nsp" else mode
+        out = scores[key].reshape(B, R, O)
+
+        if ranks_out is not None:
+            ranks = np.asarray(M.scores_to_ranks(out))
+            for b in range(B):
+                for r in range(R):
+                    ranks_out.append({
+                        "image_id": int(batch["image_id"][b]),
+                        "round_id": r + 1,
+                        "ranks": [int(x) for x in ranks[b, r]],
+                    })
+
+        sparse.observe(out, batch["gt_option_inds"])
+        rid = np.asarray(batch["round_id"]).reshape(B)
+        dense_scores = out[np.arange(B), rid - 1]
+        ndcg.observe(dense_scores, batch["gt_relevance"])
+        if progress_every and batch_idx % progress_every == 0:
+            cur = {**sparse.retrieve(reset=False),
+                   **ndcg.retrieve(reset=False)}
+            log(f"eval batches: {batch_idx} "
+                f"r@1 {cur['r@1']:.4f} r@5 {cur['r@5']:.4f} "
+                f"r@10 {cur['r@10']:.4f} mean {cur['mean']:.4f} "
+                f"mrr {cur['mrr']:.4f} ndcg {cur['ndcg']:.4f}")
+    return {**sparse.retrieve(), **ndcg.retrieve()}
+
+
+def minmax_per_slate(scores: np.ndarray) -> np.ndarray:
+    """Per-slate min-max normalisation for ensembling (val.py:151-158)."""
+    lo = scores.min(axis=-1, keepdims=True)
+    hi = scores.max(axis=-1, keepdims=True)
+    return (scores - lo) / np.maximum(hi - lo, 1e-12)
+
+
+def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
+                      mode: str = "nsp", chunk_size: int = 256,
+                      dtype=jnp.bfloat16, ranks_out: Optional[list] = None,
+                      test_split: bool = False, log=print) -> dict:
+    """Multi-checkpoint ensemble: per-model scores are min-max normalised per
+    slate and summed (val.py:151-164 / evaluate.py:108-132). With
+    ``test_split`` the loader yields [1, 100] slates and ranks_out records the
+    EvalAI format (round_id from the data)."""
+    from unimm_tpu.data.dataset import flatten_for_forward
+
+    need_lm = mode in ("ll_sum", "ll_mean")
+    ev = RankingEvaluator(cfg, chunk_size=chunk_size, dtype=dtype,
+                          need_lm=need_lm, need_nsp=not need_lm)
+    sparse = M.SparseGTMetrics()
+    ndcg = M.NDCG()
+    key = "nsp_prob" if mode == "nsp" else mode
+    for batch_idx, batch in enumerate(loader, start=1):
+        B, R, O = batch["tokens"].shape[:3]
+        flat = flatten_for_forward(batch, train=False)
+        total = np.zeros((B, R, O), np.float64)
+        for params in param_list:
+            out = ev.score_flat(params, flat)[key].reshape(B, R, O)
+            total += minmax_per_slate(out)
+
+        if ranks_out is not None:
+            ranks = np.asarray(M.scores_to_ranks(total))
+            for b in range(B):
+                if test_split:
+                    ranks_out.append({
+                        "image_id": int(batch["image_id"][b]),
+                        "round_id": int(np.asarray(batch["round_id"])
+                                        .reshape(B)[b]),
+                        "ranks": [int(x) for x in ranks[b, 0]],
+                    })
+                else:
+                    for r in range(R):
+                        ranks_out.append({
+                            "image_id": int(batch["image_id"][b]),
+                            "round_id": r + 1,
+                            "ranks": [int(x) for x in ranks[b, r]],
+                        })
+        if not test_split:
+            sparse.observe(total, batch["gt_option_inds"])
+            rid = np.asarray(batch["round_id"]).reshape(B)
+            ndcg.observe(total[np.arange(B), rid - 1],
+                         batch["gt_relevance"])
+    if test_split:
+        return {}
+    return {**sparse.retrieve(), **ndcg.retrieve()}
+
+
+def dump_ranks(ranks: list, path: str):
+    with open(path, "w") as f:
+        json.dump(ranks, f)

@@ -108,5 +108,16 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
+    """dp-shard each array's leading axis; arrays whose leading dim does not
+    divide the dp axis (e.g. a 100-candidate dense slate on an 8-way mesh)
+    are replicated instead."""
     s = batch_sharding(mesh)
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+    r = replicated(mesh)
+    dp = mesh.shape[DP]
+
+    def put(v):
+        v = np.asarray(v) if not hasattr(v, "shape") else v
+        ok = getattr(v, "ndim", 0) >= 1 and v.shape[0] % dp == 0
+        return jax.device_put(v, s if ok else r)
+
+    return {k: put(v) for k, v in batch.items()}
