@@ -75,7 +75,8 @@ def make_feature_records(rng, image_ids, feat_dim=2048, n_classes=1601,
         boxes[:, 2:] += boxes[:, :2]
         cls_prob = rng.dirichlet(np.ones(n_classes), n).astype(np.float32)
         rec = {"image_id": img_id, "image_h": 480, "image_w": 640,
-               "num_boxes": n}
+               "num_boxes": n, "feature_size": feat_dim,
+               "num_classes": n_classes}
         if b64:
             rec["features"] = base64.b64encode(feats.tobytes())
             rec["boxes"] = base64.b64encode(boxes.tobytes())

@@ -1,0 +1,113 @@
+"""LMDB format tests: writer fixtures read back by BOTH the pure-Python and
+the native C++ readers (two independent implementations cross-validated),
+including overflow values, multi-level trees, and the full
+LmdbFeatureReader -> dataset pipeline."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from unimm_tpu.native import lmdb as nlmdb
+from unimm_tpu.native.lmdb_format import Reader, Writer
+
+
+def make_items(rng, n=300, big_every=17):
+    items = []
+    for i in range(n):
+        key = f"key_{i:06d}".encode()
+        if i % big_every == 0:
+            value = rng.bytes(int(rng.integers(5000, 60000)))   # overflow
+        else:
+            value = rng.bytes(int(rng.integers(1, 800)))
+        items.append((key, value))
+    return items
+
+
+@pytest.fixture(scope="module")
+def db_path(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    items = make_items(rng)
+    path = str(tmp_path_factory.mktemp("db") / "test.lmdb")
+    Writer().write(path, items)
+    return path, dict(items)
+
+
+def _check_reader(db, expected):
+    assert db.entries == len(expected)
+    rng = np.random.default_rng(1)
+    keys = list(expected)
+    for k in rng.choice(len(keys), 50, replace=False):
+        key = keys[int(k)]
+        assert db.get(key) == expected[key], key
+    assert db.get(b"missing_key") is None
+    assert db.get(b"") is None
+    got = dict(db.items())
+    assert got == expected
+
+
+def test_python_reader(db_path):
+    path, expected = db_path
+    db = nlmdb._PythonDB(path)
+    _check_reader(db, expected)
+    db.close()
+
+
+def test_native_reader(db_path):
+    path, expected = db_path
+    try:
+        db = nlmdb._NativeDB(path)
+    except RuntimeError:
+        pytest.skip("no C++ toolchain")
+    _check_reader(db, expected)
+    db.close()
+
+
+def test_backends_agree_bytewise(db_path):
+    path, expected = db_path
+    py = nlmdb._PythonDB(path)
+    try:
+        nat = nlmdb._NativeDB(path)
+    except RuntimeError:
+        pytest.skip("no C++ toolchain")
+    for key in list(expected)[:100]:
+        assert py.get(key) == nat.get(key)
+    py.close()
+    nat.close()
+
+
+def test_single_page_db(tmp_path):
+    path = str(tmp_path / "small.lmdb")
+    items = [(b"a", b"1"), (b"b", b"2"), (b"zz", b"3" * 100)]
+    Writer().write(path, items)
+    db = nlmdb.open(path)
+    assert db.get(b"a") == b"1"
+    assert db.get(b"zz") == b"3" * 100
+    assert db.get(b"c") is None
+
+
+def test_feature_reader_pipeline(tmp_path):
+    """End-to-end: reference-schema LMDB (pickled records + 'keys' entry) ->
+    LmdbFeatureReader -> processed region features."""
+    from tests.fixtures import make_feature_records
+    from unimm_tpu.data.features import LmdbFeatureReader, process_record
+
+    rng = np.random.default_rng(2)
+    image_ids = [101, 202, 303]
+    records = make_feature_records(rng, image_ids, feat_dim=64, n_classes=32,
+                                   b64=True)
+    items = [(b"keys", pickle.dumps([str(i).encode() for i in image_ids]))]
+    for i, rec in records.items():
+        items.append((str(i).encode(), pickle.dumps(rec)))
+    path = str(tmp_path / "feats.lmdb")
+    Writer().write(path, items)
+
+    reader = LmdbFeatureReader(path)
+    assert reader.keys() == [str(i).encode() for i in image_ids]
+    feats, n, loc, loc_ori, cls_prob = reader[202]
+    expected = process_record(records[202])
+    np.testing.assert_array_equal(feats, expected[0])
+    assert n == expected[1]
+    np.testing.assert_array_equal(loc, expected[2])
+    np.testing.assert_array_equal(cls_prob, expected[4])

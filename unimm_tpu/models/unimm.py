@@ -52,9 +52,33 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
     Returns (t_seq, v_seq, pooled_t, pooled_v).
     """
     Lmax = batch["tokens"].shape[-1]
-    t_bias, v_bias, co_bias, pos = build_biases(
-        batch["mode"], batch["ctx_end"], batch["ans_len"],
-        batch["image_mask"], Lmax, dtype)
+    # Pallas fused attention regenerates the text mask in-kernel, so the
+    # [B, L, L] bias is never materialised on that path. Attention-prob
+    # dropout only exists on the XLA path, so training with dropout falls
+    # back to it.
+    use_pallas = (cfg.attention_impl == "pallas"
+                  and not (train and cfg.attention_probs_dropout_prob > 0))
+    text_fused_attn = None
+    t_bias = None
+    if use_pallas:
+        from unimm_tpu.ops import pallas_attention as pattn
+
+        desc = jnp.stack(
+            [jnp.asarray(batch["mode"], jnp.int32),
+             jnp.asarray(batch["ctx_end"], jnp.int32),
+             jnp.asarray(batch["ans_len"], jnp.int32)], axis=-1)
+        interpret = jax.default_backend() == "cpu"
+
+        def text_fused_attn(q, k, v):
+            return pattn.fused_text_attention(q, k, v, desc, interpret)
+    else:
+        t_bias = masks.text_self_bias(batch["mode"], batch["ctx_end"],
+                                      batch["ans_len"], Lmax, dtype)
+    v_bias = masks.image_self_bias(batch["image_mask"], dtype)
+    co_bias = masks.co_attention_bias(batch["mode"], batch["ctx_end"],
+                                      batch["ans_len"], Lmax, dtype)
+    pos = masks.position_ids(batch["mode"], batch["ctx_end"],
+                             batch["ans_len"], Lmax)
     if "positions" in batch and batch["positions"] is not None:
         pos = batch["positions"]
     return vilbert.bert_model(
@@ -62,7 +86,8 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
         input_ids=batch["tokens"], token_type_ids=batch["segments"],
         position_ids=pos, text_bias=t_bias,
         image_feat=batch["image_feat"], image_loc=batch["image_loc"],
-        image_bias=v_bias, co_bias=co_bias, train=train, rng=rng, dtype=dtype)
+        image_bias=v_bias, co_bias=co_bias, train=train, rng=rng, dtype=dtype,
+        text_fused_attn=text_fused_attn)
 
 
 def forward_train(params, cfg: VilbertConfig, batch, *, rng,

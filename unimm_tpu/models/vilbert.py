@@ -119,15 +119,20 @@ def attention_core(q, k, v, bias, *, drop_rate, train, rng):
 # ---------------------------------------------------------------------------
 
 def self_attention_block(p: Params, x, bias, *, num_heads, attn_drop, hidden_drop,
-                         train, rng):
-    """BertAttention: self-attention + output projection/LN residual."""
+                         train, rng, fused_attn=None):
+    """BertAttention: self-attention + output projection/LN residual.
+
+    ``fused_attn`` (q, k, v) -> ctx replaces the bias-based XLA attention with
+    the Pallas kernel that regenerates the mask in-kernel."""
     ps = p["self"]
     q = _split_heads(linear(ps["query"], x), num_heads)
     k = _split_heads(linear(ps["key"], x), num_heads)
     v = _split_heads(linear(ps["value"], x), num_heads)
-    ctx = _merge_heads(
-        attention_core(q, k, v, bias, drop_rate=attn_drop, train=train, rng=rng)
-    )
+    if fused_attn is not None:
+        ctx = _merge_heads(fused_attn(q, k, v))
+    else:
+        ctx = _merge_heads(attention_core(
+            q, k, v, bias, drop_rate=attn_drop, train=train, rng=rng))
     po = p["output"]
     h = dropout(linear(po["dense"], ctx), hidden_drop, train, rng)
     return layer_norm(po["LayerNorm"], h + x)
@@ -141,11 +146,11 @@ def ffn_block(p_inter: Params, p_out: Params, x, *, act, hidden_drop, train, rng
 
 
 def encoder_layer(p: Params, x, bias, *, num_heads, act, attn_drop, hidden_drop,
-                  train, rng):
+                  train, rng, fused_attn=None):
     """BertLayer / BertImageLayer (vilbert_dialog.py:472-483, :601-612)."""
     attn_out = self_attention_block(
         p["attention"], x, bias, num_heads=num_heads, attn_drop=attn_drop,
-        hidden_drop=hidden_drop, train=train, rng=rng)
+        hidden_drop=hidden_drop, train=train, rng=rng, fused_attn=fused_attn)
     return ffn_block(p["intermediate"], p["output"], attn_out, act=act,
                      hidden_drop=hidden_drop, train=train, rng=rng)
 
@@ -235,11 +240,12 @@ def image_embeddings(p: Params, cfg: VilbertConfig, features, locations, *,
 # ---------------------------------------------------------------------------
 
 def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
-            train, rng):
+            train, rng, text_fused_attn=None):
     """BertEncoder interleave (vilbert_dialog.py:817-937), fixed/fast modes off."""
     t_kw = dict(num_heads=cfg.num_attention_heads, act=cfg.hidden_act,
                 attn_drop=cfg.attention_probs_dropout_prob,
-                hidden_drop=cfg.hidden_dropout_prob, train=train, rng=rng)
+                hidden_drop=cfg.hidden_dropout_prob, train=train, rng=rng,
+                fused_attn=text_fused_attn)
     v_kw = dict(num_heads=cfg.v_num_attention_heads, act=cfg.v_hidden_act,
                 attn_drop=cfg.v_attention_probs_dropout_prob,
                 hidden_drop=cfg.v_hidden_dropout_prob, train=train, rng=rng)
@@ -270,7 +276,8 @@ def pooler(p: Params, x):
 
 def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                position_ids, text_bias, image_feat, image_loc, image_bias,
-               co_bias, train=False, rng=None, dtype=jnp.float32):
+               co_bias, train=False, rng=None, dtype=jnp.float32,
+               text_fused_attn=None):
     """BertModel.forward (vilbert_dialog.py:1359-1472) with biases precomputed.
 
     Returns (sequence_t, sequence_v, pooled_t, pooled_v).
@@ -283,7 +290,8 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
     v_x = image_embeddings(p["v_embeddings"], cfg, image_feat, image_loc,
                            train=train, rng=r, dtype=dtype)
     t_seq, v_seq = encoder(p["encoder"], cfg, t_x, v_x, text_bias, image_bias,
-                           co_bias, train=train, rng=r)
+                           co_bias, train=train, rng=r,
+                           text_fused_attn=text_fused_attn)
     return t_seq, v_seq, pooler(p["t_pooler"], t_seq), pooler(p["v_pooler"], v_seq)
 
 
