@@ -39,7 +39,7 @@ def main():
         return out["nsp_logits"], out["lm_nll_sum"]
 
     rng = np.random.default_rng(0)
-    for B in (256, 128, 64):
+    for B in (512, 256, 128, 64):
         # Distinct batches per iteration, and a forced host fetch per call:
         # jax.block_until_ready does not reliably block through the remote
         # TPU relay, so timing must be closed by a device->host transfer.

@@ -32,6 +32,32 @@ def build_config(params: dict) -> VilbertConfig:
                        attention_impl=params.get("attention_impl", "xla"))
 
 
+class StepProfiler:
+    """Traces a window of steps with jax.profiler when -profile_dir is set
+    (the reference's only timing is wall-clock prints, train.py:466-488)."""
+
+    def __init__(self, directory: str, start: int = 10, stop: int = 15):
+        self.dir = directory
+        self.start, self.stop = start, stop
+        self._active = False
+
+    def step(self, i: int):
+        if not self.dir:
+            return
+        if i == self.start and not self._active:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+        elif i >= self.stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"profiler trace written to {self.dir}")
+
+    def close(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def load_tokenizer(params: dict) -> WordPieceTokenizer:
     return WordPieceTokenizer.from_vocab_file(params["vocab_path"])
 

@@ -28,6 +28,7 @@ from unimm_tpu.data.dataset import (VisdialDataset, VisdialDatasetDense,
 from unimm_tpu.data.loader import DataLoader, batch_iter
 from unimm_tpu.eval import evaluator
 from unimm_tpu.models import unimm, vilbert
+from unimm_tpu.ops import focal_losses as FL
 from unimm_tpu.ops import losses as L
 from unimm_tpu.ops import rank_loss as RL
 from unimm_tpu.parallel import mesh as pmesh
@@ -59,8 +60,14 @@ def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
             # the reference drops the lm term when it is NaN (:291-294)
             lm_term = jnp.where(jnp.isnan(lm), 0.0, lm)
             total = rank + lm_term + nsp_coeff * nsp
+            # logging-only quantities (dense_annotation_finetuning.py:275-280)
+            slate = nsp_logits.astype(jnp.float32)[None, :, :]
             return total, {"loss": total, "lm_loss": lm, "nsp_loss": nsp,
-                           "rank_loss": rank}
+                           "rank_loss": rank,
+                           "ce_loss": FL.dense_ce_log(
+                               slate, gt_relevance[None, :]),
+                           "qfocal_loss": FL.dense_qfocal_log(
+                               slate, gt_relevance[None, :])}
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"])
@@ -135,6 +142,8 @@ def main(argv=None):
             print(f"[Ep: {epoch_id:.2f}][Iter: {iter_id}][Time: {dt:5.2f}s]"
                   f"[loss: {m['loss']:.3g}][LM Loss: {m['lm_loss']:.3g}]"
                   f"[NSP Loss: {m['nsp_loss']:.3g}]"
+                  f"[CE Loss: {m['ce_loss']:.3g}]"
+                  f"[qfocal_loss: {m['qfocal_loss']:.3g}]"
                   f"[neuralNDCG_transposed loss: {m['rank_loss']:.3g}]")
             for k, v in m.items():
                 viz.line_plot(iter_id, v, "loss", k)

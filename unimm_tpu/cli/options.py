@@ -91,6 +91,15 @@ def read_command_line(argv=None) -> dict:
     parser.add_argument('-eval_every_epochs', default=10, type=int)
     parser.add_argument('-language_weights',
                         default='config/language_weights.json')
+    parser.add_argument('-profile_dir', default='',
+                        help='write a jax.profiler trace of steps 10-14 here '
+                             '(the reference has no profiling at all, '
+                             'SURVEY §5)')
+    parser.add_argument('-attention_impl', default='xla',
+                        choices=['xla', 'pallas'],
+                        help='text self-attention backend: XLA bias path or '
+                             'the Pallas kernel with in-kernel mask '
+                             'generation')
 
     parsed = vars(parser.parse_args(args=argv))
     if parsed['save_name']:

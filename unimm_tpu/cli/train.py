@@ -84,11 +84,13 @@ def main(argv=None):
     host_rng = np.random.default_rng(params["seed"])
 
     iter_id = start_iter
+    profiler = common.StepProfiler(params["profile_dir"])
     start_t = time.perf_counter()
     for epoch_id in range(1, params["num_epochs"] + 1):
         loader.set_epoch(epoch_id)
         for batch in loader:
             iter_id += 1
+            profiler.step(iter_id)
             flat = flatten_for_forward(batch, sample_size=sample_size,
                                        rng=host_rng)
             flat = pmesh.shard_batch(flat, mesh)
@@ -134,6 +136,7 @@ def main(argv=None):
                        else "Retrieval Val Metrics")
                 viz.line_plot(iter_id, value, key, name)
             dataset.split = "train"
+    profiler.close()
     viz.close()
     return state
 
