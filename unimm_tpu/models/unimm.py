@@ -57,7 +57,8 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
     # dropout only exists on the XLA path, so training with dropout falls
     # back to it.
     use_pallas = (cfg.attention_impl == "pallas"
-                  and not (train and cfg.attention_probs_dropout_prob > 0))
+                  and not (train and cfg.attention_probs_dropout_prob > 0)
+                  and not cfg.in_batch_pairs and not cfg.fast_mode)
     text_fused_attn = None
     t_bias = None
     if use_pallas:

@@ -241,7 +241,17 @@ def image_embeddings(p: Params, cfg: VilbertConfig, features, locations, *,
 
 def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             train, rng, text_fused_attn=None):
-    """BertEncoder interleave (vilbert_dialog.py:817-937), fixed/fast modes off."""
+    """BertEncoder interleave (vilbert_dialog.py:817-937).
+
+    Supports the reference's optional modes:
+    * fixed_t_layer / fixed_v_layer — the frozen prefix runs under no_grad in
+      the reference (:850-869); here the equivalent stop_gradient blocks both
+      the layer's parameter grads and backprop into the embeddings;
+    * in_batch_pairs — before the first co-attention, cross every text
+      sequence with every image: batch B -> B^2 (:876-893);
+    * fast_mode — broadcast a single text sequence over the image batch
+      (:895-899).
+    """
     t_kw = dict(num_heads=cfg.num_attention_heads, act=cfg.hidden_act,
                 attn_drop=cfg.attention_probs_dropout_prob,
                 hidden_drop=cfg.hidden_dropout_prob, train=train, rng=rng,
@@ -255,8 +265,31 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             zip(cfg.v_biattention_id, cfg.t_biattention_id)):
         for i in range(v_start, v_end):
             v_x = encoder_layer(p["v_layer"][str(i)], v_x, v_bias, **v_kw)
+            if i < cfg.fixed_v_layer:
+                v_x = jax.lax.stop_gradient(v_x)
         for i in range(t_start, t_end):
             t_x = encoder_layer(p["layer"][str(i)], t_x, t_bias, **t_kw)
+            if i < cfg.fixed_t_layer:
+                t_x = jax.lax.stop_gradient(t_x)
+
+        if count == 0 and cfg.in_batch_pairs:
+            B = t_x.shape[0]
+            # image axis varies fastest for text, slowest for image (:878-893)
+            v_x = jnp.repeat(v_x[None], B, axis=0).reshape(
+                B * B, *v_x.shape[1:])
+            v_bias = jnp.repeat(v_bias[None], B, axis=0).reshape(
+                B * B, *v_bias.shape[1:])
+            t_x = jnp.repeat(t_x[:, None], B, axis=1).reshape(
+                B * B, *t_x.shape[1:])
+            t_bias = jnp.repeat(t_bias[:, None], B, axis=1).reshape(
+                B * B, *t_bias.shape[1:])
+            co_bias = jnp.repeat(co_bias[:, None], B, axis=1).reshape(
+                B * B, *co_bias.shape[1:])
+        if count == 0 and cfg.fast_mode:
+            B = v_x.shape[0]
+            t_x = jnp.broadcast_to(t_x, (B,) + t_x.shape[1:])
+            t_bias = jnp.broadcast_to(t_bias, (B,) + t_bias.shape[1:])
+
         if cfg.with_coattention:
             v_x, t_x = connection_layer(p["c_layer"][str(count)], cfg, v_x,
                                         v_bias, t_x, co_bias, train=train,
