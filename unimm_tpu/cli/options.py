@@ -82,7 +82,7 @@ def read_command_line(argv=None) -> dict:
                         help='WordPiece vocab file (bert-base-uncased layout)')
     parser.add_argument('-mesh_mp', default=1, type=int,
                         help='tensor-parallel mesh axis size')
-    parser.add_argument('-eval_chunk', default=256, type=int,
+    parser.add_argument('-eval_chunk', default=512, type=int,
                         help='sequences per jitted eval forward')
     parser.add_argument('-dtype', default='bfloat16',
                         choices=['bfloat16', 'float32'])

@@ -83,7 +83,7 @@ def masked_img_loss(img_logits, image_target, image_label):
 
 
 def online_softmax_xent(hidden, decoder_weight, decoder_bias, labels,
-                        chunk: int = 2048):
+                        chunk: int = 7680):
     """Cross-entropy over a large vocab WITHOUT materialising full logits.
 
     Streams the [V, H] tied decoder in vocab chunks with a running
