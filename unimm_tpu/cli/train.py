@@ -92,7 +92,7 @@ def main(argv=None):
             iter_id += 1
             profiler.step(iter_id)
             flat = flatten_for_forward(batch, sample_size=sample_size,
-                                       rng=host_rng)
+                                       rng=host_rng, compact_images=True)
             flat = pmesh.shard_batch(flat, mesh)
             state, metrics = train_step(state, flat, nsp_weight)
 

@@ -401,10 +401,16 @@ def collate(items: Sequence[dict]) -> dict:
 
 def flatten_for_forward(batch: dict, sample_size: Optional[int] = None,
                         rng: Optional[np.random.Generator] = None,
-                        train: bool = True) -> dict:
-    """[B, R, S, ...] batch -> flat [N, ...] model inputs, expanding the
-    per-image region features across rounds/samples and optionally
-    subsampling N -> sample_size (train.py:53-92)."""
+                        train: bool = True,
+                        compact_images: bool = False) -> dict:
+    """[B, R, S, ...] batch -> flat [N, ...] model inputs, optionally
+    subsampling N -> sample_size (train.py:53-92).
+
+    With ``compact_images`` the per-image arrays stay [B, ...] and an
+    ``img_index`` [N] maps each sequence to its image — the model gathers on
+    device (unimm.expand_images), so region features are shipped host->HBM
+    once per image instead of once per candidate sequence (1000x less for the
+    val slate)."""
     B, R, S = batch["tokens"].shape[:3]
     N = B * R * S
     flat = {}
@@ -412,14 +418,21 @@ def flatten_for_forward(batch: dict, sample_size: Optional[int] = None,
         if k in batch:
             v = batch[k]
             flat[k] = v.reshape((N,) + v.shape[3:])
-    for k in _IMG_KEYS:
-        if k in batch and (train or k in ("image_feat", "image_loc",
-                                         "image_mask")):
+    img_keys = [k for k in _IMG_KEYS if k in batch and
+                (train or k in ("image_feat", "image_loc", "image_mask"))]
+    if compact_images:
+        for k in img_keys:
+            flat[k] = batch[k]
+        flat["img_index"] = np.repeat(np.arange(B, dtype=np.int32), R * S)
+    else:
+        for k in img_keys:
             v = batch[k]                       # [B, ...]
             v = np.broadcast_to(v[:, None, None], (B, R, S) + v.shape[1:])
             flat[k] = v.reshape((N,) + v.shape[3:])
     if sample_size is not None and sample_size < N:
         assert rng is not None
         idx = rng.permutation(N)[:sample_size]
-        flat = {k: v[idx] for k, v in flat.items()}
+        keep_whole = set(img_keys) if compact_images else set()
+        flat = {k: (v if k in keep_whole else v[idx])
+                for k, v in flat.items()}
     return flat

@@ -29,8 +29,9 @@ from unimm_tpu.config import VilbertConfig
 from unimm_tpu.models import unimm
 from unimm_tpu.ops import metrics as M
 
-_EVAL_KEYS = ("tokens", "segments", "mode", "ctx_end", "ans_len",
-              "mlm_labels", "image_feat", "image_loc", "image_mask")
+_SEQ_KEYS = ("tokens", "segments", "mode", "ctx_end", "ans_len",
+             "mlm_labels", "img_index")
+_IMG_KEYS = ("image_feat", "image_loc", "image_mask")
 
 
 class RankingEvaluator:
@@ -56,22 +57,34 @@ class RankingEvaluator:
         self._fwd = jax.jit(fwd)
 
     def score_flat(self, params, flat: Dict[str, np.ndarray]) -> dict:
-        """Score a flat [N, ...] batch in fixed-size padded chunks."""
+        """Score a flat [N, ...] batch in fixed-size padded chunks.
+
+        Per-image arrays (compact storage + img_index) are staged on device
+        ONCE for the whole batch; only the small sequence arrays move per
+        chunk."""
         N = flat["tokens"].shape[0]
+        compact = "img_index" in flat
+        imgs = ({k: jnp.asarray(flat[k]) for k in _IMG_KEYS if k in flat}
+                if compact else {})
+        chunk_keys = list(_SEQ_KEYS) + ([] if compact else list(_IMG_KEYS))
         outs: List[dict] = []
         for s in range(0, N, self.chunk):
             e = min(s + self.chunk, N)
-            chunk = {k: flat[k][s:e] for k in _EVAL_KEYS if k in flat}
+            chunk = {k: flat[k][s:e] for k in chunk_keys if k in flat}
             pad = self.chunk - (e - s)
             if pad:
                 chunk = {k: np.concatenate(
                     [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
                     chunk.items()}
-            res = self._fwd(params, {k: jnp.asarray(v)
-                                     for k, v in chunk.items()})
-            res = {k: np.asarray(v)[: e - s] for k, v in res.items()}
-            outs.append(res)
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+            chunk = {k: jnp.asarray(v) for k, v in chunk.items()}
+            chunk.update(imgs)
+            # keep results on device; fetch after the loop so successive
+            # chunk dispatches overlap with compute
+            outs.append((e - s, self._fwd(params, chunk)))
+        fetched = [{k: np.asarray(v)[:n] for k, v in res.items()}
+                   for n, res in outs]
+        return {k: np.concatenate([o[k] for o in fetched])
+                for k in fetched[0]}
 
 
 def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
@@ -92,7 +105,7 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     ndcg = M.NDCG()
     for batch_idx, batch in enumerate(loader, start=1):
         B, R, O = batch["tokens"].shape[:3]
-        flat = flatten_for_forward(batch, train=False)
+        flat = flatten_for_forward(batch, train=False, compact_images=True)
         scores = ev.score_flat(params, flat)
         key = "nsp_prob" if mode == "nsp" else mode
         out = scores[key].reshape(B, R, O)
@@ -146,7 +159,7 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
     key = "nsp_prob" if mode == "nsp" else mode
     for batch_idx, batch in enumerate(loader, start=1):
         B, R, O = batch["tokens"].shape[:3]
-        flat = flatten_for_forward(batch, train=False)
+        flat = flatten_for_forward(batch, train=False, compact_images=True)
         total = np.zeros((B, R, O), np.float64)
         for params in param_list:
             out = ev.score_flat(params, flat)[key].reshape(B, R, O)

@@ -42,15 +42,35 @@ def build_biases(mode, ctx_end, ans_len, image_mask, max_len: int,
     )
 
 
+def expand_images(batch):
+    """Resolve compact image storage: when ``img_index`` [N] is present, the
+    image arrays are stored once per IMAGE ([B_img, ...]) and gathered to
+    per-sequence arrays on device. This avoids shipping the region features
+    duplicated across all rounds x candidates of a dialog (the reference
+    expands [B,10,100,37,2048] host-side, val_lm.py:84-93 — 1000x redundant
+    host->device traffic)."""
+    if "img_index" not in batch or batch["img_index"] is None:
+        return batch
+    idx = batch["img_index"]
+    out = {k: v for k, v in batch.items() if k != "img_index"}
+    for k in ("image_feat", "image_loc", "image_mask", "image_target",
+              "image_label"):
+        if k in out and out[k] is not None:
+            out[k] = jnp.asarray(out[k])[idx]
+    return out
+
+
 def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
            dtype=jnp.float32):
     """Run the two-stream encoder from a descriptor batch.
 
     batch keys: tokens [B,L] int32, segments [B,L] int32, mode/ctx_end/ans_len
     [B] int32, image_feat [B,R,2048], image_loc [B,R,5], image_mask [B,R].
-    Optional: positions [B,L] (host-provided override).
+    Optional: positions [B,L] override; img_index [B] for compact per-image
+    feature storage (see expand_images).
     Returns (t_seq, v_seq, pooled_t, pooled_v).
     """
+    batch = expand_images(batch)
     Lmax = batch["tokens"].shape[-1]
     # Pallas fused attention regenerates the text mask in-kernel, so the
     # [B, L, L] bias is never materialised on that path. Attention-prob
@@ -99,6 +119,7 @@ def forward_train(params, cfg: VilbertConfig, batch, *, rng,
     next_sentence_label [B], image_target [B,R,1601], image_label [B,R].
     Returns dict(lm=..., img=..., nsp=...) of scalar fp32 losses.
     """
+    batch = expand_images(batch)
     r_enc, r_head = (jax.random.split(rng) if rng is not None else (None, None))
     t_seq, v_seq, pooled_t, pooled_v = encode(
         params, cfg, batch, train=train, rng=r_enc, dtype=dtype)
