@@ -27,38 +27,58 @@ BASELINE_DIALOGS_PER_SEC_PER_CHIP = 0.03
 
 def main():
     from unimm_tpu.config import VilbertConfig
-    from unimm_tpu.models import unimm, vilbert
-    from __graft_entry__ import _synthetic_batch
+    from unimm_tpu.data.dataset import flatten_for_forward
+    from unimm_tpu.eval.evaluator import RankingEvaluator
+    from unimm_tpu.models import vilbert
 
     cfg = VilbertConfig()
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
-
-    @jax.jit
-    def score(params, batch):
-        out = unimm.forward_eval(params, cfg, batch, dtype=jnp.bfloat16)
-        return out["nsp_logits"], out["lm_nll_sum"]
-
     rng = np.random.default_rng(0)
-    for B in (512, 256, 128, 64):
-        # Distinct batches per iteration, and a forced host fetch per call:
-        # jax.block_until_ready does not reliably block through the remote
-        # TPU relay, so timing must be closed by a device->host transfer.
-        batches = [_synthetic_batch(rng, cfg, B=B) for _ in range(4)]
+
+    # val_lm-shaped work: 2 dialogs x 10 rounds x 100 candidates per batch,
+    # full host->device path through the production evaluator (compact
+    # per-image feature staging + pipelined chunks).
+    B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
+
+    def make_val_batch():
+        labels = np.full((B, R, O, L), -1, np.int32)
+        labels[..., 200:208] = rng.integers(0, cfg.vocab_size,
+                                            (B, R, O, 8))
+        return {
+            "tokens": rng.integers(1, cfg.vocab_size,
+                                   (B, R, O, L)).astype(np.int32),
+            "segments": rng.integers(0, 2, (B, R, O, L)).astype(np.int32),
+            "mode": np.ones((B, R, O), np.int32),
+            "ctx_end": rng.integers(60, 200, (B, R, O)).astype(np.int32),
+            "ans_len": rng.integers(2, 9, (B, R, O)).astype(np.int32),
+            "mlm_labels": labels,
+            "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
+            "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
+            "image_mask": np.ones((B, Rg), np.float32),
+        }
+
+    for chunk in (500, 250, 125):
         try:
-            for b in batches:                      # compile + warmup
-                float(np.asarray(score(params, b)[1]).sum())
-            iters = 8
+            ev = RankingEvaluator(cfg, chunk_size=chunk, dtype=jnp.bfloat16,
+                                  need_lm=True, need_nsp=False)
+            flats = [flatten_for_forward(make_val_batch(), train=False,
+                                         compact_images=True)
+                     for _ in range(3)]
+            for f in flats:                      # compile + warmup
+                ev.score_flat(params, f)
+            iters = 6
             t0 = time.perf_counter()
             for i in range(iters):
-                out = score(params, batches[i % 4])
-                float(np.asarray(out[1]).sum())
+                ev.score_flat(params, flats[i % 3])
             dt = time.perf_counter() - t0
-            seq_per_sec = B * iters / dt
+            seq_per_sec = B * R * O * iters / dt
+            B_used = chunk
             break
-        except Exception:  # OOM fallback to smaller batch
-            if B == 64:
+        except Exception:  # OOM fallback to smaller chunks
+            if chunk == 125:
                 raise
             continue
+    B = B_used
 
     dialogs_per_sec = seq_per_sec / 1000.0   # 10 rounds x 100 options
     print(json.dumps({

@@ -1,0 +1,77 @@
+"""Evaluator unit tests: compact vs expanded image staging equality, chunk
+padding correctness, ensemble normalisation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_model import TINY
+from unimm_tpu.data.dataset import flatten_for_forward
+from unimm_tpu.eval import evaluator
+from unimm_tpu.models import vilbert
+
+
+def make_val_batch(rng, cfg, B=2, R=3, O=7):
+    L, Rg = cfg.max_seq_len, cfg.max_regions
+    labels = np.full((B, R, O, L), -1, np.int32)
+    labels[..., 20:24] = rng.integers(0, cfg.vocab_size, (B, R, O, 4))
+    return {
+        "tokens": rng.integers(1, cfg.vocab_size, (B, R, O, L)).astype(np.int32),
+        "segments": rng.integers(0, 2, (B, R, O, L)).astype(np.int32),
+        "mode": np.ones((B, R, O), np.int32),
+        "ctx_end": rng.integers(12, 25, (B, R, O)).astype(np.int32),
+        "ans_len": rng.integers(2, 5, (B, R, O)).astype(np.int32),
+        "mlm_labels": labels,
+        "image_feat": rng.normal(size=(B, Rg, cfg.v_feature_size))
+        .astype(np.float32),
+        "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
+        "image_mask": np.ones((B, Rg), np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = vilbert.init_params(jax.random.PRNGKey(0), TINY)
+    batch = make_val_batch(np.random.default_rng(0), TINY)
+    return params, batch
+
+
+def test_compact_equals_expanded(setup):
+    params, batch = setup
+    ev = evaluator.RankingEvaluator(TINY, chunk_size=16, dtype=jnp.float32)
+    flat_c = flatten_for_forward(batch, train=False, compact_images=True)
+    flat_e = flatten_for_forward(batch, train=False, compact_images=False)
+    out_c = ev.score_flat(params, flat_c)
+    out_e = ev.score_flat(params, flat_e)
+    for k in out_c:
+        np.testing.assert_allclose(out_c[k], out_e[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+
+
+def test_chunk_size_invariance(setup):
+    """Results must not depend on chunk size (padding correctness: N=42 with
+    chunk 16 pads the last chunk by 6)."""
+    params, batch = setup
+    flat = flatten_for_forward(batch, train=False, compact_images=True)
+    outs = []
+    for chunk in (16, 21, 42, 64):
+        ev = evaluator.RankingEvaluator(TINY, chunk_size=chunk,
+                                        dtype=jnp.float32)
+        outs.append(ev.score_flat(params, flat))
+    for o in outs[1:]:
+        for k in o:
+            np.testing.assert_allclose(o[k], outs[0][k], rtol=1e-5,
+                                       atol=1e-6)
+
+
+def test_minmax_per_slate():
+    rng = np.random.default_rng(1)
+    s = rng.normal(size=(2, 3, 10))
+    n = evaluator.minmax_per_slate(s)
+    assert n.min() >= 0 and n.max() <= 1
+    np.testing.assert_allclose(n.max(axis=-1), 1.0)
+    np.testing.assert_allclose(n.min(axis=-1), 0.0)
+    # order preserved
+    assert (np.argsort(s, -1) == np.argsort(n, -1)).all()
