@@ -1,0 +1,103 @@
+"""Gathered-MLM training path: custom-VJP online xent gradients and loss
+equality vs the dense reference formulation."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_model import TINY, make_batch
+from unimm_tpu.models import unimm
+from unimm_tpu.models import vilbert
+from unimm_tpu.ops import losses as L
+
+
+def test_online_xent_vjp_matches_dense_grads():
+    rng = np.random.default_rng(0)
+    M, H, V = 10, 16, 300
+    hidden = jnp.asarray(rng.normal(size=(M, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(V, H)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, size=(M,)))
+    labels = labels.at[0].set(-1)
+    weights = jnp.asarray(
+        rng.choice([1.0, 2.0, -1.0, 0.0], size=(M,)), jnp.float32)
+
+    def loss_vjp(h, w, b):
+        nll = L.online_softmax_xent_vjp(h, w, b, labels, 128)
+        num = jnp.sum((weights != 0).astype(jnp.float32))
+        return L.masked_lm_ul_loss_gathered(nll, labels, weights, num)
+
+    def loss_dense(h, w, b):
+        logits = (h @ w.T + b)[None]   # [1, M, V]
+        return L.masked_lm_ul_loss(logits, labels[None], weights[None])
+
+    v1 = float(loss_vjp(hidden, w, b))
+    v2 = float(loss_dense(hidden, w, b))
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+
+    g1 = jax.grad(loss_vjp, argnums=(0, 1, 2))(hidden, w, b)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(hidden, w, b)
+    for a, bb, name in zip(g1, g2, ["dh", "dw", "db"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-4,
+                                   atol=1e-6, err_msg=name)
+
+
+def _train_batch(rng, cfg, B=3):
+    batch = make_batch(rng, cfg, B=B)
+    L_, R = cfg.max_seq_len, cfg.max_regions
+    labels = np.full((B, L_), -1, np.int32)
+    labels[:, 10:18] = rng.integers(0, cfg.vocab_size, size=(B, 8))
+    w = np.zeros((B, L_), np.float32)
+    w[:, 10:14] = 1.0
+    w[1, 14:18] = -1.0
+    labels = np.where((w == 0) & (labels != -1) & (np.arange(L_) >= 14),
+                      labels, labels)   # keep some labeled-but-zero-weight
+    batch.update({
+        "mlm_labels": jnp.asarray(labels),
+        "lm_weight": jnp.asarray(w),
+        "next_sentence_label": jnp.asarray(rng.integers(0, 2, B)),
+        "image_target": jnp.asarray(
+            rng.dirichlet(np.ones(cfg.v_target_size), (B, R))
+            .astype(np.float32)),
+        "image_label": jnp.asarray(rng.choice([-1, 1], (B, R))),
+    })
+    return batch
+
+
+def test_forward_train_gathered_equals_dense():
+    rng = np.random.default_rng(1)
+    params = vilbert.init_params(jax.random.PRNGKey(0), TINY)
+    batch = _train_batch(rng, TINY)
+    cfg_g = TINY.replace(mlm_loss_impl="gathered", max_train_label_positions=16)
+    cfg_d = TINY.replace(mlm_loss_impl="dense")
+    # eval-mode forward (no dropout) so both paths see identical activations
+    out_g = unimm.forward_train(params, cfg_g, batch, rng=jax.random.PRNGKey(1),
+                                dtype=jnp.float32, train=False)
+    out_d = unimm.forward_train(params, cfg_d, batch, rng=jax.random.PRNGKey(1),
+                                dtype=jnp.float32, train=False)
+    for k in out_g:
+        np.testing.assert_allclose(float(out_g[k]), float(out_d[k]),
+                                   rtol=1e-5, err_msg=k)
+
+    # gradient equality through the full model
+    def total(p, cfg):
+        o = unimm.forward_train(p, cfg, batch, rng=jax.random.PRNGKey(1),
+                                dtype=jnp.float32, train=False)
+        return o["lm"] + o["nsp"] + o["img"]
+
+    g_g = jax.grad(total)(params, cfg_g)
+    g_d = jax.grad(total)(params, cfg_d)
+    paths = [
+        ("bert", "embeddings", "word_embeddings"),
+        ("cls", "predictions", "bias"),
+        ("cls", "predictions", "transform", "dense", "kernel"),
+        ("bert", "encoder", "layer", "0", "attention", "self", "query",
+         "kernel"),
+    ]
+    for path in paths:
+        a, b = g_g, g_d
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6, err_msg=str(path))

@@ -91,6 +91,10 @@ def read_command_line(argv=None) -> dict:
     parser.add_argument('-eval_every_epochs', default=10, type=int)
     parser.add_argument('-language_weights',
                         default='config/language_weights.json')
+    parser.add_argument('-remat', default=1, type=int,
+                        help='rematerialise encoder layers in backward '
+                             '(fits the 240-seq paper batch on one 16GB '
+                             'chip; ~10%% step-time cost)')
     parser.add_argument('-profile_dir', default='',
                         help='write a jax.profiler trace of steps 10-14 here '
                              '(the reference has no profiling at all, '

@@ -57,6 +57,16 @@ class VilbertConfig:
     max_regions: int = 37           # region count incl. global <IMG> row
     # attention implementation: "xla" (fused by XLA) or "pallas" (custom kernel)
     attention_impl: str = "xla"
+    # rematerialise encoder layers in the backward pass (jax.checkpoint):
+    # trades ~30% recompute for O(layers) less activation memory, enabling
+    # the paper's 240-sequence training batch on a single 16GB chip
+    remat: bool = False
+    # training MLM loss path: "gathered" computes NLL at <=
+    # max_train_label_positions gathered label positions via the
+    # custom-VJP online softmax (no [N, L, vocab] logits in fwd OR bwd);
+    # "dense" materialises full logits like the reference (exactness oracle)
+    mlm_loss_impl: str = "gathered"
+    max_train_label_positions: int = 128
 
     def __post_init__(self):
         assert len(self.v_biattention_id) == len(self.t_biattention_id)

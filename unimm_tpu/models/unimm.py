@@ -123,11 +123,32 @@ def forward_train(params, cfg: VilbertConfig, batch, *, rng,
     r_enc, r_head = (jax.random.split(rng) if rng is not None else (None, None))
     t_seq, v_seq, pooled_t, pooled_v = encode(
         params, cfg, batch, train=train, rng=r_enc, dtype=dtype)
-    mlm_logits, img_logits, nsp_logits = vilbert.pretraining_heads(
-        params, cfg, t_seq, v_seq, pooled_t, pooled_v, train=train, rng=r_head)
+
+    if cfg.mlm_loss_impl == "gathered":
+        # never materialise [N, L, vocab] logits: NLL at gathered label
+        # positions with a chunk-recomputing custom VJP (the reference
+        # always computes full logits, vilbert_dialog.py:1069)
+        pos, labs = label_positions(batch["mlm_labels"],
+                                    cfg.max_train_label_positions)
+        w_g = jnp.take_along_axis(batch["lm_weight"], pos, axis=-1)
+        hidden = vilbert.mlm_head_at_positions(params, cfg, t_seq, pos)
+        decoder = params["bert"]["embeddings"]["word_embeddings"].astype(
+            hidden.dtype)
+        bias = params["cls"]["predictions"]["bias"].astype(jnp.float32)
+        nll = L.online_softmax_xent_vjp(hidden, decoder, bias, labs)
+        num_tokens = jnp.sum(
+            (batch["lm_weight"] != 0).astype(jnp.float32))
+        lm = L.masked_lm_ul_loss_gathered(nll, labs, w_g, num_tokens)
+        img_logits, nsp_logits = vilbert.nsp_and_img_heads(
+            params, cfg, v_seq, pooled_t, pooled_v, train=train, rng=r_head)
+    else:
+        mlm_logits, img_logits, nsp_logits = vilbert.pretraining_heads(
+            params, cfg, t_seq, v_seq, pooled_t, pooled_v, train=train,
+            rng=r_head)
+        lm = L.masked_lm_ul_loss(mlm_logits, batch["mlm_labels"],
+                                 batch["lm_weight"])
     return {
-        "lm": L.masked_lm_ul_loss(mlm_logits, batch["mlm_labels"],
-                                  batch["lm_weight"]),
+        "lm": lm,
         "img": L.masked_img_loss(img_logits, batch["image_target"],
                                  batch["image_label"]),
         "nsp": L.nsp_loss(nsp_logits, batch["next_sentence_label"], nsp_weight),

@@ -258,23 +258,44 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
     * fast_mode — broadcast a single text sequence over the image batch
       (:895-899).
     """
-    t_kw = dict(num_heads=cfg.num_attention_heads, act=cfg.hidden_act,
-                attn_drop=cfg.attention_probs_dropout_prob,
-                hidden_drop=cfg.hidden_dropout_prob, train=train, rng=rng,
-                fused_attn=text_fused_attn)
-    v_kw = dict(num_heads=cfg.v_num_attention_heads, act=cfg.v_hidden_act,
-                attn_drop=cfg.v_attention_probs_dropout_prob,
-                hidden_drop=cfg.v_hidden_dropout_prob, train=train, rng=rng)
+    base_key = rng._rng if isinstance(rng, _Rng) else rng
+
+    def _key(tag):
+        return (jax.random.fold_in(base_key, tag)
+                if base_key is not None else None)
+
+    def t_fn(lp, x, key):
+        return encoder_layer(
+            lp, x, t_bias, num_heads=cfg.num_attention_heads,
+            act=cfg.hidden_act, attn_drop=cfg.attention_probs_dropout_prob,
+            hidden_drop=cfg.hidden_dropout_prob, train=train, rng=_Rng(key),
+            fused_attn=text_fused_attn)
+
+    def v_fn(lp, x, key):
+        return encoder_layer(
+            lp, x, v_bias, num_heads=cfg.v_num_attention_heads,
+            act=cfg.v_hidden_act,
+            attn_drop=cfg.v_attention_probs_dropout_prob,
+            hidden_drop=cfg.v_hidden_dropout_prob, train=train, rng=_Rng(key))
+
+    def c_fn(cp, vx, tx, key):
+        return connection_layer(cp, cfg, vx, v_bias, tx, co_bias,
+                                train=train, rng=_Rng(key))
+
+    if cfg.remat:
+        t_fn = jax.checkpoint(t_fn)
+        v_fn = jax.checkpoint(v_fn)
+        c_fn = jax.checkpoint(c_fn)
 
     v_start = t_start = 0
     for count, (v_end, t_end) in enumerate(
             zip(cfg.v_biattention_id, cfg.t_biattention_id)):
         for i in range(v_start, v_end):
-            v_x = encoder_layer(p["v_layer"][str(i)], v_x, v_bias, **v_kw)
+            v_x = v_fn(p["v_layer"][str(i)], v_x, _key(100 + i))
             if i < cfg.fixed_v_layer:
                 v_x = jax.lax.stop_gradient(v_x)
         for i in range(t_start, t_end):
-            t_x = encoder_layer(p["layer"][str(i)], t_x, t_bias, **t_kw)
+            t_x = t_fn(p["layer"][str(i)], t_x, _key(i))
             if i < cfg.fixed_t_layer:
                 t_x = jax.lax.stop_gradient(t_x)
 
@@ -297,14 +318,13 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             t_bias = jnp.broadcast_to(t_bias, (B,) + t_bias.shape[1:])
 
         if cfg.with_coattention:
-            v_x, t_x = connection_layer(p["c_layer"][str(count)], cfg, v_x,
-                                        v_bias, t_x, co_bias, train=train,
-                                        rng=rng)
+            v_x, t_x = c_fn(p["c_layer"][str(count)], v_x, t_x,
+                            _key(200 + count))
         v_start, t_start = v_end, t_end
     for i in range(v_start, cfg.v_num_hidden_layers):
-        v_x = encoder_layer(p["v_layer"][str(i)], v_x, v_bias, **v_kw)
+        v_x = v_fn(p["v_layer"][str(i)], v_x, _key(100 + i))
     for i in range(t_start, cfg.num_hidden_layers):
-        t_x = encoder_layer(p["layer"][str(i)], t_x, t_bias, **t_kw)
+        t_x = t_fn(p["layer"][str(i)], t_x, _key(i))
     return t_x, v_x
 
 
@@ -363,6 +383,27 @@ def pretraining_heads(params: Params, cfg: VilbertConfig, t_seq, v_seq,
     img_logits = linear(pi["decoder"], hv)
 
     return mlm_logits, img_logits, nsp_logits
+
+
+def nsp_and_img_heads(params: Params, cfg: VilbertConfig, v_seq, pooled_t,
+                      pooled_v, *, train=False, rng=None):
+    """NSP + region-class heads without the MLM decode (the gathered-MLM
+    training path computes answer NLL separately)."""
+    r = _Rng(rng)
+    params = cast_floating(params, v_seq.dtype)
+    pc = params["cls"]
+    if cfg.fusion_method == "mul":
+        pooled = pooled_t * pooled_v
+    else:
+        pooled = pooled_t + pooled_v
+    pooled = dropout(pooled, 0.1, train, r)
+    nsp_logits = linear(pc["bi_seq_relationship"], pooled)
+    pi = pc["imagePredictions"]
+    hv = linear(pi["transform"]["dense"], v_seq)
+    hv = gelu(hv) if cfg.hidden_act == "gelu" else ACT[cfg.hidden_act](hv)
+    hv = layer_norm(pi["transform"]["LayerNorm"], hv)
+    img_logits = linear(pi["decoder"], hv)
+    return img_logits, nsp_logits
 
 
 def mlm_head_at_positions(params: Params, cfg: VilbertConfig, t_seq, positions):

@@ -82,6 +82,118 @@ def masked_img_loss(img_logits, image_target, image_label):
     return num / den
 
 
+def _online_xent_impl(hidden, decoder_weight, decoder_bias, labels,
+                      chunk: int):
+    """Returns (nll [...], lse [...flat], true_logit [...flat])."""
+    V, H = decoder_weight.shape
+    n_chunks = (V + chunk - 1) // chunk
+    pad_v = n_chunks * chunk - V
+    w = jnp.pad(decoder_weight, ((0, pad_v), (0, 0)))
+    b = jnp.pad(decoder_bias, (0, pad_v), constant_values=-1e30)
+    w = w.reshape(n_chunks, chunk, H)
+    b = b.reshape(n_chunks, chunk)
+
+    shape = hidden.shape[:-1]
+    h = hidden.reshape(-1, H)
+    lab = labels.reshape(-1)
+
+    def body(carry, xs):
+        run_max, run_sum, true_logit = carry
+        w_c, b_c, idx0 = xs
+        logits = (jnp.matmul(h, w_c.T,
+                             preferred_element_type=jnp.float32)
+                  + b_c[None, :].astype(jnp.float32))
+        c_max = jnp.max(logits, axis=-1)
+        new_max = jnp.maximum(run_max, c_max)
+        run_sum = run_sum * jnp.exp(run_max - new_max) + jnp.sum(
+            jnp.exp(logits - new_max[:, None]), axis=-1)
+        local = lab - idx0
+        in_chunk = (local >= 0) & (local < chunk)
+        picked = jnp.take_along_axis(
+            logits, jnp.clip(local, 0, chunk - 1)[:, None], axis=-1)[:, 0]
+        true_logit = jnp.where(in_chunk, picked, true_logit)
+        return (new_max, run_sum, true_logit), None
+
+    init = (jnp.full((h.shape[0],), -jnp.inf, jnp.float32),
+            jnp.zeros((h.shape[0],), jnp.float32),
+            jnp.zeros((h.shape[0],), jnp.float32))
+    idx0s = jnp.arange(n_chunks) * chunk
+    (m, s, t), _ = jax.lax.scan(body, init, (w, b, idx0s))
+    lse = m + jnp.log(s)
+    nll = jnp.where(lab == -1, 0.0, lse - t)
+    return nll.reshape(shape), lse, t
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def online_softmax_xent_vjp(hidden, decoder_weight, decoder_bias, labels,
+                            chunk: int = 7680):
+    """online_softmax_xent with a memory-lean custom backward: the forward
+    saves only [M] softmax statistics; the backward recomputes each vocab
+    chunk's logits and accumulates dhidden / ddecoder / dbias chunk-wise —
+    the [M, V] logits never exist in either pass."""
+    nll, _, _ = _online_xent_impl(hidden, decoder_weight, decoder_bias,
+                                  labels, chunk)
+    return nll
+
+
+def _oxv_fwd(hidden, decoder_weight, decoder_bias, labels, chunk):
+    nll, lse, _ = _online_xent_impl(hidden, decoder_weight, decoder_bias,
+                                    labels, chunk)
+    return nll, (hidden, decoder_weight, decoder_bias, labels, lse)
+
+
+def _oxv_bwd(chunk, res, g):
+    hidden, decoder_weight, decoder_bias, labels, lse = res
+    V, H = decoder_weight.shape
+    n_chunks = (V + chunk - 1) // chunk
+    pad_v = n_chunks * chunk - V
+    w = jnp.pad(decoder_weight, ((0, pad_v), (0, 0)))
+    b = jnp.pad(decoder_bias, (0, pad_v), constant_values=-1e30)
+    w = w.reshape(n_chunks, chunk, H).astype(hidden.dtype)
+    b = b.reshape(n_chunks, chunk)
+
+    shape = hidden.shape[:-1]
+    h = hidden.reshape(-1, H)
+    lab = labels.reshape(-1)
+    gf = (g.reshape(-1).astype(jnp.float32)
+          * (lab != -1).astype(jnp.float32))
+
+    def body(dh, xs):
+        w_c, b_c, idx0 = xs
+        logits = (jnp.matmul(h, w_c.T,
+                             preferred_element_type=jnp.float32)
+                  + b_c[None, :].astype(jnp.float32))
+        probs = jnp.exp(logits - lse[:, None])
+        local = lab - idx0
+        in_chunk = (local >= 0) & (local < chunk)
+        onehot_col = jnp.clip(local, 0, chunk - 1)
+        dlogits = probs
+        dlogits = dlogits.at[jnp.arange(h.shape[0]), onehot_col].add(
+            jnp.where(in_chunk, -1.0, 0.0))
+        dlogits = dlogits * gf[:, None]
+        dh = dh + jnp.matmul(dlogits.astype(w_c.dtype), w_c,
+                             preferred_element_type=jnp.float32)
+        dw_c = jnp.matmul(dlogits.T.astype(h.dtype), h,
+                          preferred_element_type=jnp.float32)
+        db_c = jnp.sum(dlogits, axis=0)
+        return dh, (dw_c, db_c)
+
+    idx0s = jnp.arange(n_chunks) * chunk
+    dh0 = jnp.zeros((h.shape[0], H), jnp.float32)
+    dh, (dw, db) = jax.lax.scan(body, dh0, (w, b, idx0s))
+    dw = dw.reshape(n_chunks * chunk, H)[:V]
+    db = db.reshape(n_chunks * chunk)[:V]
+    return (dh.reshape(shape + (H,)).astype(hidden.dtype),
+            dw.astype(decoder_weight.dtype), db.astype(decoder_bias.dtype),
+            None)
+
+
+online_softmax_xent_vjp.defvjp(_oxv_fwd, _oxv_bwd)
+
+
 def online_softmax_xent(hidden, decoder_weight, decoder_bias, labels,
                         chunk: int = 7680):
     """Cross-entropy over a large vocab WITHOUT materialising full logits.
@@ -137,6 +249,32 @@ def online_softmax_xent(hidden, decoder_weight, decoder_bias, labels,
     nll = (m + jnp.log(s)) - t
     nll = jnp.where(lab == -1, 0.0, nll)
     return nll.reshape(shape)
+
+
+def masked_lm_ul_loss_gathered(nll, labels, weights, num_tokens=None):
+    """masked_lm_ul_loss computed from per-position NLL at gathered label
+    positions (pairs with online_softmax_xent_vjp — no [N, L, V] logits).
+
+    Mathematically identical to the dense form: the unlikelihood term
+    -log(1 - p) is a function of nll via p = exp(-nll), so autodiff chains
+    the correct UL gradient through the xent's custom VJP.
+
+    ``num_tokens``: pass sum(full_lm_weight != 0) for exact denominator
+    parity with the dense form (which counts nonzero weights regardless of
+    label validity, vilbert_dialog.py:1592).
+    """
+    nll = nll.astype(jnp.float32)
+    valid = labels != -1
+    w = weights.astype(jnp.float32)
+    l_mask = (w > 0) & valid
+    ul_mask = (w == -1) & valid
+    l_sum = jnp.sum(jnp.where(l_mask, nll * w, 0.0))
+    p = jnp.exp(-nll)
+    ul_term = -jnp.log(jnp.clip(1.0 - p, min=CLAMP_MIN))
+    ul_sum = jnp.sum(jnp.where(ul_mask, ul_term, 0.0))
+    if num_tokens is None:
+        num_tokens = jnp.sum(((w != 0) & valid).astype(jnp.float32))
+    return (l_sum + ul_sum) / jnp.maximum(num_tokens, 1.0)
 
 
 def combine_losses(lm, img, nsp, lm_coeff=1.0, nsp_coeff=1.0, img_coeff=1.0):
