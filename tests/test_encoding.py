@@ -10,7 +10,9 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, "/root/reference")
-from utils import data_utils as ref  # noqa: E402  (reference oracle)
+ref = pytest.importorskip(
+    "utils.data_utils",
+    reason="reference checkout not available")  # noqa: E402  (reference oracle)
 
 from unimm_tpu.data import encoding  # noqa: E402
 from unimm_tpu.ops import masks  # noqa: E402

@@ -75,3 +75,20 @@ def test_minmax_per_slate():
     np.testing.assert_allclose(n.min(axis=-1), 0.0)
     # order preserved
     assert (np.argsort(s, -1) == np.argsort(n, -1)).all()
+
+
+def test_sharded_eval_on_mesh(setup):
+    """dp-sharded eval chunks on the virtual 8-device mesh must match the
+    single-device results (multi-chip serving path)."""
+    from unimm_tpu.parallel import mesh as pmesh
+
+    params, batch = setup
+    mesh = pmesh.make_mesh(8, mp=1)
+    flat = flatten_for_forward(batch, train=False, compact_images=True)
+    ev_m = evaluator.RankingEvaluator(TINY, chunk_size=16, dtype=jnp.float32,
+                                      mesh=mesh)
+    ev_s = evaluator.RankingEvaluator(TINY, chunk_size=16, dtype=jnp.float32)
+    out_m = ev_m.score_flat(params, flat)
+    out_s = ev_s.score_flat(params, flat)
+    for k in out_m:
+        np.testing.assert_allclose(out_m[k], out_s[k], rtol=1e-5, atol=1e-6)

@@ -24,6 +24,14 @@ def setup_jax(params: dict):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
+    # multi-host slices: one process per host, mesh spans all hosts, data
+    # parallel rides ICI within a slice and DCN across slices
+    if params.get("coordinator_address"):
+        jax.distributed.initialize(
+            coordinator_address=params["coordinator_address"],
+            num_processes=params["num_processes"] or None,
+            process_id=(params["process_id"]
+                        if params["process_id"] >= 0 else None))
 
 
 def build_config(params: dict) -> VilbertConfig:

@@ -91,6 +91,11 @@ def read_command_line(argv=None) -> dict:
     parser.add_argument('-eval_every_epochs', default=10, type=int)
     parser.add_argument('-language_weights',
                         default='config/language_weights.json')
+    parser.add_argument('-coordinator_address', default='',
+                        help='multi-host: jax.distributed coordinator '
+                             '(host:port); enables multi-slice DCN training')
+    parser.add_argument('-num_processes', default=0, type=int)
+    parser.add_argument('-process_id', default=-1, type=int)
     parser.add_argument('-remat', default=1, type=int,
                         help='rematerialise encoder layers in backward '
                              '(fits the 240-seq paper batch on one 16GB '

@@ -36,10 +36,21 @@ _IMG_KEYS = ("image_feat", "image_loc", "image_mask")
 
 class RankingEvaluator:
     def __init__(self, cfg: VilbertConfig, *, chunk_size: int = 256,
-                 dtype=jnp.bfloat16, need_lm=True, need_nsp=True):
+                 dtype=jnp.bfloat16, need_lm=True, need_nsp=True, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — eval chunks are dp-sharded
+        across it (multi-chip serving; chunk_size must divide the dp axis)."""
         self.cfg = cfg
         self.chunk = chunk_size
         self.dtype = dtype
+        self.mesh = mesh
+        self._chunk_sharding = None
+        self._repl = None
+        if mesh is not None:
+            from unimm_tpu.parallel import mesh as pmesh
+            assert chunk_size % mesh.shape[pmesh.DP] == 0, \
+                (chunk_size, dict(mesh.shape))
+            self._chunk_sharding = pmesh.batch_sharding(mesh)
+            self._repl = pmesh.replicated(mesh)
 
         def fwd(params, batch):
             out = unimm.forward_eval(params, cfg, batch, dtype=dtype,
@@ -64,7 +75,12 @@ class RankingEvaluator:
         chunk."""
         N = flat["tokens"].shape[0]
         compact = "img_index" in flat
-        imgs = ({k: jnp.asarray(flat[k]) for k in _IMG_KEYS if k in flat}
+
+        def put_img(v):
+            return (jax.device_put(v, self._repl)
+                    if self._repl is not None else jnp.asarray(v))
+
+        imgs = ({k: put_img(flat[k]) for k in _IMG_KEYS if k in flat}
                 if compact else {})
         chunk_keys = list(_SEQ_KEYS) + ([] if compact else list(_IMG_KEYS))
         outs: List[dict] = []
@@ -76,7 +92,11 @@ class RankingEvaluator:
                 chunk = {k: np.concatenate(
                     [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
                     chunk.items()}
-            chunk = {k: jnp.asarray(v) for k, v in chunk.items()}
+            if self._chunk_sharding is not None:
+                chunk = {k: jax.device_put(v, self._chunk_sharding)
+                         for k, v in chunk.items()}
+            else:
+                chunk = {k: jnp.asarray(v) for k, v in chunk.items()}
             chunk.update(imgs)
             # keep results on device; fetch after the loop so successive
             # chunk dispatches overlap with compute
