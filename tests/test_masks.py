@@ -68,6 +68,9 @@ GEN_CASES = [
     (250, 6, 256),   # full-size: fits exactly
     (252, 6, 256),   # full-size truncated
     (100, 30, 256),  # long answer
+    (40, 5, 32),     # context alone exceeds max (L1 > max_len)
+    (33, 5, 32),     # L1 just past max
+    (300, 10, 256),  # full-size context overflow
 ]
 
 

@@ -1,0 +1,94 @@
+"""Optimizer/schedule tests against the reference semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from unimm_tpu.train import optim
+
+
+def ref_lr(step, base, warmup=10000, t_total=200000, min_lr=1e-5):
+    """utils/optim_utils.py:19-26 literal."""
+    if step < warmup:
+        f = step / max(1, warmup)
+    else:
+        f = max(0.0, (t_total - step) / max(1.0, t_total - warmup))
+    lr = base * f
+    return lr if lr > min_lr else min_lr
+
+
+def test_schedule_matches_reference():
+    cfg = optim.OptimConfig(lr=2e-5)
+    sched = optim.warmup_linear_nonzero(2e-5, cfg)
+    for step in [0, 1, 100, 9999, 10000, 50000, 150000, 199999, 200000,
+                 250000]:
+        np.testing.assert_allclose(float(sched(step)), ref_lr(step, 2e-5),
+                                   rtol=1e-6, err_msg=str(step))
+
+
+def test_schedule_floor():
+    cfg = optim.OptimConfig(lr=2e-5, min_lr=1e-5)
+    sched = optim.warmup_linear_nonzero(2e-5, cfg)
+    # late decay floors at min_lr, never zero
+    assert float(sched(195000)) == pytest.approx(1e-5)
+    assert float(sched(10**6)) == pytest.approx(1e-5)
+
+
+def test_multisteps_schedule_scale():
+    """With batch_multiply=k the schedule must advance k micro-steps per real
+    update (the reference calls scheduler.step() every micro-batch,
+    train.py:463): the inner schedule is evaluated at update_count * k."""
+    k = 4
+    cfg = optim.OptimConfig(lr=1e-3, warmup_steps=100, t_total=1000,
+                            min_lr=1e-9, batch_multiply=k)
+    sched = optim.warmup_linear_nonzero(1e-3, cfg, step_scale=k)
+    for updates_done in [0, 10, 25, 100]:
+        np.testing.assert_allclose(
+            float(sched(updates_done)),
+            ref_lr(updates_done * k, 1e-3, warmup=100, t_total=1000,
+                   min_lr=1e-9), rtol=1e-6)
+
+    # and the accumulating optimizer only changes params every k micro-steps
+    cfg = optim.OptimConfig(lr=1e-3, warmup_steps=1, t_total=1000,
+                            min_lr=1e-9, batch_multiply=k)
+    params = {"w": jnp.ones((4,))}
+    tx = optim.make_optimizer(params, cfg)
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+    p = params
+    changed_at = []
+    for i in range(1, 2 * k + 1):
+        updates, state = tx.update(grads, state, p)
+        p2 = optax.apply_updates(p, updates)
+        if not np.allclose(np.asarray(p2["w"]), np.asarray(p["w"])):
+            changed_at.append(i)
+        p = p2
+    # the first real update (count 0) applies lr(0) ~ min_lr, invisible at
+    # allclose tolerance; all visible changes land on multiples of k
+    assert changed_at and all(c % k == 0 for c in changed_at), changed_at
+
+
+def test_group_lrs_applied():
+    """lang vs img params get their own lr."""
+    cfg = optim.OptimConfig(lr=1e-2, image_lr=1e-3, warmup_steps=1,
+                            t_total=10**9, min_lr=0.0)
+    params = {
+        "bert": {"embeddings": {"word_embeddings": jnp.ones((4, 2))},
+                 "t_pooler": {"dense": {"kernel": jnp.ones((2, 2)),
+                                        "bias": jnp.zeros((2,))}}},
+    }
+    lang = ["bert_pretrained.bert.embeddings.word_embeddings.weight"]
+    tx = optim.make_optimizer(params, cfg, lang)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    # step twice so warmup factor is 1
+    updates, state = tx.update(grads, state, params)
+    updates, state = tx.update(grads, state, params)
+    lang_up = float(jnp.abs(
+        updates["bert"]["embeddings"]["word_embeddings"]).mean())
+    img_up = float(jnp.abs(
+        updates["bert"]["t_pooler"]["dense"]["kernel"]).mean())
+    assert lang_up > 5 * img_up   # 1e-2 vs 1e-3 (adam-normalised grads ~1)

@@ -37,11 +37,18 @@ class OptimConfig:
     adam_eps: float = 1e-6
 
 
-def warmup_linear_nonzero(base_lr: float, cfg: OptimConfig):
-    """utils/optim_utils.py:19-26 as an optax schedule."""
+def warmup_linear_nonzero(base_lr: float, cfg: OptimConfig,
+                          step_scale: int = 1):
+    """utils/optim_utils.py:19-26 as an optax schedule.
+
+    ``step_scale``: the reference advances the scheduler every MICRO-batch,
+    including gradient-accumulation steps (train.py:463), while
+    optax.MultiSteps only ticks the inner optimizer once per real update —
+    so under accumulation the schedule is evaluated at
+    update_count * batch_multiply to reproduce the reference's envelope."""
 
     def schedule(step):
-        step = jax.numpy.asarray(step, jax.numpy.float32)
+        step = jax.numpy.asarray(step, jax.numpy.float32) * step_scale
         warm = step / max(1, cfg.warmup_steps)
         decay = jax.numpy.maximum(
             0.0, (cfg.t_total - step) / max(1.0, cfg.t_total - cfg.warmup_steps))
@@ -72,7 +79,8 @@ def make_optimizer(params, cfg: OptimConfig,
 
     def adamw(base_lr, wd):
         return optax.adamw(
-            learning_rate=warmup_linear_nonzero(base_lr, cfg),
+            learning_rate=warmup_linear_nonzero(base_lr, cfg,
+                                                step_scale=cfg.batch_multiply),
             b1=0.9, b2=0.999, eps=cfg.adam_eps, weight_decay=wd)
 
     tx = optax.multi_transform({
