@@ -41,6 +41,15 @@ def build_config(params: dict) -> VilbertConfig:
                        remat=bool(params.get("remat", 0)))
 
 
+def eval_mesh(params: dict):
+    """Data-parallel mesh over all local devices for sharded eval (None on a
+    single chip)."""
+    if len(jax.devices()) > 1:
+        from unimm_tpu.parallel import mesh as pmesh
+        return pmesh.make_mesh(mp=1)
+    return None
+
+
 class StepProfiler:
     """Traces a window of steps with jax.profiler when -profile_dir is set
     (the reference's only timing is wall-clock prints, train.py:466-488)."""

@@ -57,7 +57,11 @@ def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
                 nsp_logits.astype(jnp.float32), axis=-1)[:, 0]
             rank = RL.neuralNDCG_transposed(nsp_probs[None, :],
                                             gt_relevance[None, :])
-            # the reference drops the lm term when it is NaN (:291-294)
+            # The reference drops the lm term when it is NaN (:291-294); its
+            # NaN came from 0/0 in boolean-indexed loss reduction, which our
+            # masked-sum loss structurally prevents (max(num_tokens, 1)) —
+            # this guard only masks the VALUE for parity. If lm were NaN here
+            # it would mean encoder NaNs, which poison all grads regardless.
             lm_term = jnp.where(jnp.isnan(lm), 0.0, lm)
             total = rank + lm_term + nsp_coeff * nsp
             # logging-only quantities (dense_annotation_finetuning.py:275-280)
@@ -162,7 +166,8 @@ def main(argv=None):
                 mets = evaluator.evaluate_split(
                     state["params"], cfg, eval_loader, mode="nsp",
                     chunk_size=params["eval_chunk"],
-                    dtype=common.compute_dtype(params))
+                    dtype=common.compute_dtype(params),
+                    mesh=mesh if mesh.size > 1 else None)
                 for name, value in mets.items():
                     print(f"{name}: {value}")
     viz.close()

@@ -12,6 +12,7 @@ import sys
 from unimm_tpu.cli import common, options
 from unimm_tpu.data.dataset import VisdialDataset
 from unimm_tpu.data.loader import DataLoader
+from unimm_tpu.cli.common import eval_mesh as _mesh
 from unimm_tpu.eval import evaluator
 from unimm_tpu.models import vilbert
 
@@ -36,7 +37,8 @@ def main(argv=None):
     ranks = []
     evaluator.evaluate_ensemble(
         ensemble, cfg, loader, mode="nsp", chunk_size=params["eval_chunk"],
-        dtype=common.compute_dtype(params), ranks_out=ranks, test_split=True)
+        dtype=common.compute_dtype(params), ranks_out=ranks, test_split=True,
+        mesh=_mesh(params))
     out = (params["save_name"] or "evaluate") + "_predictions.txt"
     evaluator.dump_ranks(ranks, out)
     print("wrote", out, len(ranks), "records")

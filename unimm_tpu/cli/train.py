@@ -129,7 +129,8 @@ def main(argv=None):
             all_metrics = evaluator.evaluate_split(
                 state["params"], cfg, eval_loader, mode="nsp",
                 chunk_size=params["eval_chunk"],
-                dtype=common.compute_dtype(params))
+                dtype=common.compute_dtype(params),
+                mesh=mesh if mesh.size > 1 else None)
             for name, value in all_metrics.items():
                 print(f"{name}: {value}")
                 key = ("Retrieval Round Val Metrics" if "round" in name

@@ -13,6 +13,7 @@ import sys
 from unimm_tpu.cli import common, options
 from unimm_tpu.data.dataset import VisdialDataset
 from unimm_tpu.data.loader import DataLoader
+from unimm_tpu.cli.common import eval_mesh as _mesh
 from unimm_tpu.eval import evaluator
 from unimm_tpu.models import vilbert
 
@@ -37,7 +38,8 @@ def main(argv=None):
     ranks = []
     metrics = evaluator.evaluate_ensemble(
         ensemble, cfg, loader, mode="nsp", chunk_size=params["eval_chunk"],
-        dtype=common.compute_dtype(params), ranks_out=ranks)
+        dtype=common.compute_dtype(params), ranks_out=ranks,
+        mesh=_mesh(params))
     evaluator.dump_ranks(ranks, (params["save_name"] or "val")
                          + "_predictions.txt")
     common.print_metrics(metrics)

@@ -15,6 +15,7 @@ import sys
 from unimm_tpu.cli import common, options
 from unimm_tpu.data.dataset import VisdialDataset
 from unimm_tpu.data.loader import DataLoader
+from unimm_tpu.cli.common import eval_mesh as _mesh
 from unimm_tpu.eval import evaluator
 
 
@@ -37,7 +38,7 @@ def main(argv=None, mode: str = "ll_sum"):
     metrics = evaluator.evaluate_split(
         model_params, cfg, loader, mode=mode,
         chunk_size=params["eval_chunk"], dtype=common.compute_dtype(params),
-        ranks_out=ranks)
+        ranks_out=ranks, mesh=_mesh(params))
     evaluator.dump_ranks(ranks, (params["save_name"] or "val_lm")
                          + "_predictions.txt")
     common.print_metrics(metrics)

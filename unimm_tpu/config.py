@@ -66,7 +66,11 @@ class VilbertConfig:
     # custom-VJP online softmax (no [N, L, vocab] logits in fwd OR bwd);
     # "dense" materialises full logits like the reference (exactness oracle)
     mlm_loss_impl: str = "gathered"
-    max_train_label_positions: int = 128
+    # per-sequence label budget for the gathered path; 160 > the max answer
+    # labels (~126) + a generous corrupted-context allowance (Binomial tail
+    # of mask_prob=0.15 over <=254 tokens). Overflow would silently drop the
+    # highest-position labels, so keep this comfortably above realistic use.
+    max_train_label_positions: int = 160
 
     def __post_init__(self):
         assert len(self.v_biattention_id) == len(self.t_biattention_id)

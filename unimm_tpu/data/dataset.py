@@ -105,9 +105,13 @@ class VisdialDataset:
     def __len__(self):
         return self.num_data_points[self._split]
 
+    _SPLIT_IDS = {"train": 0, "val": 1, "test": 2}
+
     def _rng(self, index: int) -> np.random.Generator:
+        # fixed split ids, NOT hash(): str hashing is salted per process
+        # (PYTHONHASHSEED) and would break cross-run/cross-host reproducibility
         return np.random.default_rng(
-            (self.seed, self.epoch, index, hash(self._split) & 0xFFFF))
+            (self.seed, self.epoch, index, self._SPLIT_IDS[self._split]))
 
     def _image(self, img_id, rng, mask_prob) -> E.EncodedImage:
         features, num_boxes, boxes, _, cls_prob = self.reader[img_id]

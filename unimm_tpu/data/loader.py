@@ -59,21 +59,27 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
+            # bounded pipelining: at most (prefetch + 1) batches of items are
+            # in flight, so host memory stays O(prefetch * batch) rather than
+            # the whole epoch being pre-submitted to the pool
+            window = self.prefetch + 1
             with ThreadPoolExecutor(self.num_workers) as pool:
-                # pipeline item construction across batches
-                futures = [
-                    [pool.submit(self.dataset.__getitem__, int(i))
-                     for i in idxs] for idxs in batches]
-                for fs in futures:
-                    if stop.is_set():
-                        for f in fs:
-                            f.cancel()
-                        continue
-                    try:
+                in_flight = []
+                bi = 0
+                try:
+                    while (bi < len(batches) or in_flight) and not stop.is_set():
+                        while bi < len(batches) and len(in_flight) < window:
+                            in_flight.append(
+                                [pool.submit(self.dataset.__getitem__, int(i))
+                                 for i in batches[bi]])
+                            bi += 1
+                        fs = in_flight.pop(0)
                         q.put(self.collate([f.result() for f in fs]))
-                    except Exception as e:  # surfaced to the consumer
-                        q.put(e)
-                        break
+                except Exception as e:  # surfaced to the consumer
+                    q.put(e)
+                for fs in in_flight:
+                    for f in fs:
+                        f.cancel()
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

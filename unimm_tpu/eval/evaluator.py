@@ -29,6 +29,10 @@ from unimm_tpu.config import VilbertConfig
 from unimm_tpu.models import unimm
 from unimm_tpu.ops import metrics as M
 
+# per-chunk sequence arrays. 'positions'/'sep_indices' are intentionally NOT
+# shipped: eval always regenerates position ids from the descriptor on
+# device, which tests prove identical to the host-built ones
+# (test_encoding.py::test_gen_parity_deterministic).
 _SEQ_KEYS = ("tokens", "segments", "mode", "ctx_end", "ans_len",
              "mlm_labels", "img_index")
 _IMG_KEYS = ("image_feat", "image_loc", "image_mask")
@@ -110,7 +114,7 @@ class RankingEvaluator:
 def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    chunk_size: int = 256, dtype=jnp.bfloat16,
                    ranks_out: Optional[list] = None,
-                   progress_every: int = 10, log=print) -> dict:
+                   progress_every: int = 10, log=print, mesh=None) -> dict:
     """Run ranking eval over a val loader.
 
     mode: 'nsp' (discriminative), 'll_sum' (val_lm), 'll_mean' (val_avg_lm).
@@ -119,8 +123,9 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     from unimm_tpu.data.dataset import flatten_for_forward
 
     need_lm = mode in ("ll_sum", "ll_mean")
-    ev = RankingEvaluator(cfg, chunk_size=chunk_size, dtype=dtype,
-                          need_lm=need_lm, need_nsp=not need_lm)
+    ev = RankingEvaluator(cfg, chunk_size=_fit_chunk(chunk_size, mesh),
+                          dtype=dtype, need_lm=need_lm,
+                          need_nsp=not need_lm, mesh=mesh)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     for batch_idx, batch in enumerate(loader, start=1):
@@ -154,6 +159,15 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     return {**sparse.retrieve(), **ndcg.retrieve()}
 
 
+def _fit_chunk(chunk_size: int, mesh) -> int:
+    """Round the chunk down to a multiple of the dp axis when sharding."""
+    if mesh is None:
+        return chunk_size
+    from unimm_tpu.parallel import mesh as pmesh
+    dp = mesh.shape[pmesh.DP]
+    return max(dp, (chunk_size // dp) * dp)
+
+
 def minmax_per_slate(scores: np.ndarray) -> np.ndarray:
     """Per-slate min-max normalisation for ensembling (val.py:151-158)."""
     lo = scores.min(axis=-1, keepdims=True)
@@ -164,7 +178,8 @@ def minmax_per_slate(scores: np.ndarray) -> np.ndarray:
 def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
                       mode: str = "nsp", chunk_size: int = 256,
                       dtype=jnp.bfloat16, ranks_out: Optional[list] = None,
-                      test_split: bool = False, log=print) -> dict:
+                      test_split: bool = False, log=print,
+                      mesh=None) -> dict:
     """Multi-checkpoint ensemble: per-model scores are min-max normalised per
     slate and summed (val.py:151-164 / evaluate.py:108-132). With
     ``test_split`` the loader yields [1, 100] slates and ranks_out records the
@@ -172,8 +187,9 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
     from unimm_tpu.data.dataset import flatten_for_forward
 
     need_lm = mode in ("ll_sum", "ll_mean")
-    ev = RankingEvaluator(cfg, chunk_size=chunk_size, dtype=dtype,
-                          need_lm=need_lm, need_nsp=not need_lm)
+    ev = RankingEvaluator(cfg, chunk_size=_fit_chunk(chunk_size, mesh),
+                          dtype=dtype, need_lm=need_lm,
+                          need_nsp=not need_lm, mesh=mesh)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     key = "nsp_prob" if mode == "nsp" else mode

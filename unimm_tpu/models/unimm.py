@@ -24,10 +24,12 @@ from unimm_tpu.ops import losses as L
 from unimm_tpu.ops import masks
 
 # Maximum number of MLM-label positions gathered per sequence on the eval
-# scoring path. Answers are short (the generative layout duplicates the
-# answer inside a 256-token budget), so 64 covers every real sequence;
-# positions beyond the actual label count point at padding with label -1.
-MAX_LABEL_POSITIONS = 64
+# scoring path. The generative layout bounds the answer by
+# ctx + 2*(ans+1) <= 256, so an answer can carry at most ~126 label tokens
+# with a minimal context; 128 therefore covers EVERY representable sequence
+# (no silent score truncation). Positions beyond the actual label count
+# point at padding with label -1 and contribute zero NLL.
+MAX_LABEL_POSITIONS = 128
 
 
 def build_biases(mode, ctx_end, ans_len, image_mask, max_len: int,

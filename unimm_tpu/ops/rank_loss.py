@@ -104,8 +104,9 @@ def stochastic_neural_sort(s, n_samples, tau, mask, *, rng, beta=1.0,
     if log_scores:
         s_pos = jnp.log(s_pos + eps)
     s_pert = (s_pos[None] + samples).reshape(n_samples * B, n, 1)
-    mask_rep = jnp.repeat(mask, n_samples, axis=0) if False else \
-        jnp.tile(mask, (n_samples, 1))
+    # sample-major layout (s*B + b): tile, NOT repeat_interleave, so masks
+    # align with the reshape above
+    mask_rep = jnp.tile(mask, (n_samples, 1))
     P_hat = deterministic_neural_sort(s_pert, tau, mask_rep)
     return P_hat.reshape(n_samples, B, n, n)
 

@@ -67,8 +67,10 @@ def param_spec(path: Tuple[str, ...]) -> P:
         return P()
     col = (".self.query.", ".self.key.", ".self.value.", "intermediate.dense",
            "biattention.query", "biattention.key", "biattention.value")
-    row = ("attention.output.dense", ".output.dense", "biOutput.dense",
-           "biOutput.q_dense")
+    # NOTE: the connection layers name their FFN down-projections
+    # v_output.dense / t_output.dense — ".output.dense" does not match them
+    row = ("attention.output.dense", ".output.dense", "v_output.dense",
+           "t_output.dense", "biOutput.dense", "biOutput.q_dense")
     if any(s in name or name.endswith(s.strip(".")) for s in col):
         return P(None, MP)
     if any(s in name for s in row):
