@@ -131,3 +131,21 @@ def test_dense_finetune_cli(cli_world):
         "-overfit", "-num_epochs", "1", "-batch_multiply", "2",
         "-save_name", "t_dense"]))
     assert int(np.asarray(state["step"])) > 0
+
+
+def test_train_continue_resumes(cli_world):
+    """-continue -start_path <dir> restores the native (orbax) state and the
+    step counter advances from where it stopped."""
+    from unimm_tpu.cli import train
+    os.chdir(cli_world["root"])
+    args = _argv(cli_world, [
+        "-overfit", "-num_epochs", "1", "-batch_size", "12",
+        "-sequences_per_image", "6", "-num_negative_samples", "1",
+        "-eval_every_epochs", "99", "-save_name", "t_resume"])
+    state1 = train.main(args)
+    step1 = int(np.asarray(state1["step"]))
+    assert step1 > 0
+    native_dir = os.path.join(cli_world["root"], "ckpt", "t_resume", "native")
+    state2 = train.main(args + ["-continue", "-start_path", native_dir])
+    step2 = int(np.asarray(state2["step"]))
+    assert step2 == 2 * step1, (step1, step2)

@@ -54,7 +54,11 @@ def main(argv=None):
     print(f"\n{num_iter_epoch} iter per epoch.")
 
     mesh = pmesh.make_mesh(mp=params["mesh_mp"])
-    model_params = common.init_model(params, cfg)
+    # under -continue the start_path is the native full-state directory,
+    # restored below into the complete train state — not a params-only load
+    init_params_dict = (dict(params, start_path="") if params["continue"]
+                        else params)
+    model_params = common.init_model(init_params_dict, cfg)
     model_params, _ = pmesh.shard_params(model_params, mesh)
 
     lang = None
@@ -70,7 +74,15 @@ def main(argv=None):
         latest = C.latest_native(params["start_path"])
         if latest:
             path, step_no = latest
-            state = C.restore_native(path, state)
+            state = C.restore_native(path, jax.device_get(state))
+            # restored leaves arrive host-committed; re-establish device
+            # placement (params under their mesh shardings, the rest
+            # replicated) so every train_step input agrees on devices
+            repl = pmesh.replicated(mesh)
+            state["params"], _ = pmesh.shard_params(state["params"], mesh)
+            for k in ("opt_state", "step", "rng"):
+                state[k] = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, repl), state[k])
             start_iter = int(np.asarray(state["step"]))
             print(f"restored native checkpoint at step {start_iter}")
 
