@@ -102,3 +102,22 @@ def test_online_softmax_xent_matches_dense():
                                      chunk=256)
     np.testing.assert_allclose(np.asarray(got), t_nll.numpy(), rtol=2e-4,
                                atol=1e-5)
+
+
+def test_masked_img_loss_mse_matches_predict_feature_branch():
+    """predict_feature=True branch (vilbert_dialog.py:1562-1567)."""
+    rng = np.random.default_rng(5)
+    N, R, C = 3, 8, 20
+    logits = rng.normal(size=(N, R, C)).astype(np.float32)
+    target = rng.normal(size=(N, R, C)).astype(np.float32)
+    label = rng.choice([-1, 0, 1], size=(N, R))
+
+    t_loss = torch.nn.MSELoss(reduction="none")(torch.tensor(logits),
+                                                torch.tensor(target))
+    sel = (torch.tensor(label) == 1).unsqueeze(2).float()
+    expected = torch.sum(t_loss * sel) / max(
+        torch.sum((torch.tensor(label) == 1).unsqueeze(2)
+                  .expand_as(t_loss)), 1)
+    got = losses.masked_img_loss_mse(jnp.asarray(logits), jnp.asarray(target),
+                                     jnp.asarray(label))
+    np.testing.assert_allclose(float(got), float(expected), rtol=1e-5)

@@ -168,12 +168,15 @@ class VisdialDataset:
                         chosen = cand
                         break
                     all_inds.remove(oi)
-                if chosen is None:
+                # reference quirk (dataloader_visdial.py:178-183): the
+                # truncation fallback triggers whenever the candidate pool is
+                # EMPTY — even if the final pick above succeeded — replacing
+                # it with a random option truncated to the GT answer length
+                if not all_inds:
                     oi = all_neg_inds[int(rng.integers(len(all_neg_inds)))]
-                    cand = self.tok.encode(
+                    chosen = self.tok.encode(
                         answers[utt["answer_options"][oi]])[: len(a)]
                     all_neg_inds.remove(oi)
-                    chosen = cand
                 t = cur_rand.copy()
                 t.append(chosen)
                 negatives.append(t)

@@ -58,6 +58,18 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_abandon(item) -> bool:
+            """Bounded put that gives up when the consumer stopped iterating
+            (a blocking q.put here would leak the producer thread forever
+            when the consumer breaks out of the epoch early)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             # bounded pipelining: at most (prefetch + 1) batches of items are
             # in flight, so host memory stays O(prefetch * batch) rather than
@@ -74,13 +86,15 @@ class DataLoader:
                                  for i in batches[bi]])
                             bi += 1
                         fs = in_flight.pop(0)
-                        q.put(self.collate([f.result() for f in fs]))
+                        if not put_or_abandon(
+                                self.collate([f.result() for f in fs])):
+                            break
                 except Exception as e:  # surfaced to the consumer
-                    q.put(e)
+                    put_or_abandon(e)
                 for fs in in_flight:
                     for f in fs:
                         f.cancel()
-            q.put(None)
+            put_or_abandon(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -149,10 +149,12 @@ def forward_train(params, cfg: VilbertConfig, batch, *, rng,
             rng=r_head)
         lm = L.masked_lm_ul_loss(mlm_logits, batch["mlm_labels"],
                                  batch["lm_weight"])
+    img_loss_fn = (L.masked_img_loss_mse if cfg.predict_feature
+                   else L.masked_img_loss)
     return {
         "lm": lm,
-        "img": L.masked_img_loss(img_logits, batch["image_target"],
-                                 batch["image_label"]),
+        "img": img_loss_fn(img_logits, batch["image_target"],
+                           batch["image_label"]),
         "nsp": L.nsp_loss(nsp_logits, batch["next_sentence_label"], nsp_weight),
     }
 

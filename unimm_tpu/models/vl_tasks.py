@@ -44,15 +44,17 @@ def vl_tasks_forward(params, cfg: VilbertConfig, batch, *, train=False,
     """
     from unimm_tpu.models import unimm
 
-    r_enc, r_head = (jax.random.split(rng) if rng is not None
-                     else (None, None))
+    r_enc, r_head, r_task = (jax.random.split(rng, 3) if rng is not None
+                             else (None, None, None))
     t_seq, v_seq, pooled_t, pooled_v = unimm.encode(
         params, cfg, batch, train=train, rng=r_enc, dtype=dtype)
     mlm_logits, img_logits, nsp_logits = vilbert.pretraining_heads(
         params, cfg, t_seq, v_seq, pooled_t, pooled_v, train=train,
         rng=r_head)
 
-    r = _Rng(r_head if r_head is not None else None)
+    # own key: pretraining_heads consumed r_head's fold_in(., 0) for its
+    # pooled dropout — reusing it here would correlate the dropout masks
+    r = _Rng(r_task)
     if cfg.fusion_method == "mul":
         pooled = pooled_t * pooled_v
     else:

@@ -81,16 +81,18 @@ class Reader:
         return txnid, (psize, depth, entries, root)
 
     def _pick_meta(self):
-        psize_guess = 4096
-        best = None
-        for pg in (0, 1):
-            for psize in (psize_guess,):
-                off = pg * psize + PAGEHDRSZ
-                if off + 128 > len(self._mm):
-                    continue
-                got = self._read_meta(off)
-                if got and (best is None or got[0] > best[0]):
-                    best = got
+        # meta 0 is always at offset 0; read the true page size from it, then
+        # locate meta 1 at that psize (liblmdb uses the OS page size, which
+        # is 16K on some hosts — a fixed 4096 probe would silently serve the
+        # stale meta 0 snapshot)
+        meta0 = self._read_meta(PAGEHDRSZ)
+        best = meta0
+        psize = meta0[1][0] if meta0 else 4096
+        off1 = psize + PAGEHDRSZ
+        if off1 + 128 <= len(self._mm):
+            meta1 = self._read_meta(off1)
+            if meta1 and (best is None or meta1[0] > best[0]):
+                best = meta1
         if best is None:
             raise ValueError(f"not an LMDB data file: {self.path}")
         return best[1]

@@ -113,14 +113,19 @@ void* mdbr_open(const char* path) {
   h->map = static_cast<const uint8_t*>(map);
   h->size = st.st_size;
 
-  // pick the live meta (larger txnid) from pages 0/1 at psize 4096
+  // meta 0 at offset 0 carries the true page size; meta 1 lives one page
+  // later AT THAT PSIZE (liblmdb uses the OS page size — not always 4096)
   uint64_t best_txn = 0;
   bool found = false;
+  uint64_t psize0 = 4096;
   for (int pg = 0; pg < 2; ++pg) {
-    const uint8_t* m = h->map + pg * 4096 + kPageHdr;
+    size_t off = (pg == 0 ? 0 : psize0) + kPageHdr;
+    if (off + 128 > h->size) continue;
+    const uint8_t* m = h->map + off;
     if (rd<uint32_t>(m) != kMagic || rd<uint32_t>(m + 4) != kVersion) continue;
     const uint8_t* db0 = m + 8 + 16;
     uint64_t psize = rd<uint32_t>(db0);
+    if (pg == 0) psize0 = psize;
     const uint8_t* db1 = db0 + 48;
     uint64_t entries = rd<uint64_t>(db1 + 32);
     uint64_t root = rd<uint64_t>(db1 + 40);

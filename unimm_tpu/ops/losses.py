@@ -82,6 +82,19 @@ def masked_img_loss(img_logits, image_target, image_label):
     return num / den
 
 
+def masked_img_loss_mse(img_logits, image_target, image_label):
+    """predict_feature=True image loss (vilbert_dialog.py:1562-1567):
+    elementwise MSE over masked regions, divided by the number of selected
+    ELEMENTS (count x feature dim, per the reference's expand_as)."""
+    pred = img_logits.astype(jnp.float32)
+    target = image_target.astype(jnp.float32)
+    mse = jnp.square(pred - target)
+    sel = (image_label == 1).astype(jnp.float32)[..., None]
+    num = jnp.sum(mse * sel)
+    den = jnp.maximum(jnp.sum(sel * jnp.ones_like(mse)), 1.0)
+    return num / den
+
+
 def _online_xent_impl(hidden, decoder_weight, decoder_bias, labels,
                       chunk: int):
     """Returns (nll [...], lse [...flat], true_logit [...flat])."""
@@ -201,8 +214,7 @@ def online_softmax_xent(hidden, decoder_weight, decoder_bias, labels,
     Streams the [V, H] tied decoder in vocab chunks with a running
     max/exp-sum (online softmax), so HBM holds only [N, P, chunk] at a time.
     The reference materialises [N, 256, 30522] logits on every eval forward
-    (vilbert_dialog.py:1069, val_lm.py:131-134) — a large memory and
-    bandwidth cost this path avoids.
+    (vilbert_dialog.py:1069, val_lm.py:131-134).
 
     Args:
       hidden: [..., H] transformed MLM hiddens at label positions.
@@ -212,43 +224,9 @@ def online_softmax_xent(hidden, decoder_weight, decoder_bias, labels,
       chunk: vocab tile size (multiple of 128 for MXU alignment).
     Returns: nll [...] float32, zero at ignored positions.
     """
-    V, H = decoder_weight.shape
-    n_chunks = (V + chunk - 1) // chunk
-    pad_v = n_chunks * chunk - V
-    w = jnp.pad(decoder_weight, ((0, pad_v), (0, 0)))
-    b = jnp.pad(decoder_bias, (0, pad_v), constant_values=-1e30)
-    w = w.reshape(n_chunks, chunk, H)
-    b = b.reshape(n_chunks, chunk)
-
-    shape = hidden.shape[:-1]
-    h = hidden.reshape(-1, H)
-    lab = labels.reshape(-1)
-
-    def body(carry, xs):
-        run_max, run_sum, true_logit = carry
-        w_c, b_c, idx0 = xs
-        logits = (jnp.matmul(h, w_c.T,
-                             preferred_element_type=jnp.float32)
-                  + b_c[None, :])
-        c_max = jnp.max(logits, axis=-1)
-        new_max = jnp.maximum(run_max, c_max)
-        run_sum = run_sum * jnp.exp(run_max - new_max) + jnp.sum(
-            jnp.exp(logits - new_max[:, None]), axis=-1)
-        local = lab - idx0
-        in_chunk = (local >= 0) & (local < chunk)
-        picked = jnp.take_along_axis(
-            logits, jnp.clip(local, 0, chunk - 1)[:, None], axis=-1)[:, 0]
-        true_logit = jnp.where(in_chunk, picked, true_logit)
-        return (new_max, run_sum, true_logit), None
-
-    init = (jnp.full((h.shape[0],), -jnp.inf, jnp.float32),
-            jnp.zeros((h.shape[0],), jnp.float32),
-            jnp.zeros((h.shape[0],), jnp.float32))
-    idx0s = jnp.arange(n_chunks) * chunk
-    (m, s, t), _ = jax.lax.scan(body, init, (w, b, idx0s))
-    nll = (m + jnp.log(s)) - t
-    nll = jnp.where(lab == -1, 0.0, nll)
-    return nll.reshape(shape)
+    nll, _, _ = _online_xent_impl(hidden, decoder_weight, decoder_bias,
+                                  labels, chunk)
+    return nll
 
 
 def masked_lm_ul_loss_gathered(nll, labels, weights, num_tokens=None):
