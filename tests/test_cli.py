@@ -149,3 +149,22 @@ def test_train_continue_resumes(cli_world):
     state2 = train.main(args + ["-continue", "-start_path", native_dir])
     step2 = int(np.asarray(state2["step"]))
     assert step2 == 2 * step1, (step1, step2)
+
+
+def test_train_cli_tensor_parallel(cli_world):
+    """mp=2 tensor-parallel training through the CLI on the 8-device mesh
+    (4x2): params sharded by the Megatron rules, one epoch completes."""
+    from unimm_tpu.cli import train
+    os.chdir(cli_world["root"])
+    state = train.main(_argv(cli_world, [
+        "-overfit", "-num_epochs", "1", "-batch_size", "16",
+        "-sequences_per_image", "8", "-num_negative_samples", "1",
+        "-eval_every_epochs", "1", "-mesh_mp", "2",
+        "-save_name", "t_train_mp"]))
+    assert int(np.asarray(state["step"])) > 0
+    # a column-sharded kernel really is split over the mp axis
+    k = state["params"]["bert"]["encoder"]["layer"]["0"]["intermediate"][
+        "dense"]["kernel"]
+    shard_shapes = {tuple(s.data.shape) for s in k.addressable_shards}
+    full = tuple(k.shape)
+    assert any(ss[1] == full[1] // 2 for ss in shard_shapes), shard_shapes
