@@ -157,7 +157,7 @@ def save_reference_ckpt(path: str, params, iter_id: int = 0):
     """Write a reference-format checkpoint dict (model weights + iter_id)."""
     import torch
 
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           for k, v in to_torch_state_dict(params).items()}
     torch.save({"model_state_dict": sd, "iter_id": iter_id}, path)
 
