@@ -1,0 +1,93 @@
+"""Coverage for remaining paths: LMDB->npz conversion round-trip, generative
+ensembles, tokenizer decode, CSV metrics logger."""
+
+import csv
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_lmdb_to_npz_roundtrip(tmp_path):
+    from tests.fixtures import make_feature_records
+    from unimm_tpu.data.features import (LmdbFeatureReader, NpzFeatureReader,
+                                         convert_lmdb_to_npz)
+    from unimm_tpu.native.lmdb_format import Writer
+
+    rng = np.random.default_rng(0)
+    ids = [11, 22, 33]
+    records = make_feature_records(rng, ids, feat_dim=64, n_classes=32,
+                                   b64=True)
+    items = [(b"keys", pickle.dumps([str(i).encode() for i in ids]))]
+    for i, rec in records.items():
+        items.append((str(i).encode(), pickle.dumps(rec)))
+    lmdb_path = str(tmp_path / "f.lmdb")
+    Writer().write(lmdb_path, items)
+
+    npz_path = str(tmp_path / "f.npz")
+    convert_lmdb_to_npz(lmdb_path, npz_path)
+
+    r_lmdb = LmdbFeatureReader(lmdb_path)
+    r_npz = NpzFeatureReader(npz_path)
+    assert r_npz.keys() == ids
+    for i in ids:
+        a = r_lmdb[i]
+        b = r_npz[i]
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x, dtype=np.float64),
+                                       np.asarray(y, dtype=np.float64))
+
+
+def test_generative_ensemble(tmp_path):
+    """Beyond-reference: ensembling by generative log-likelihood."""
+    from tests import fixtures
+    from unimm_tpu.data.dataset import VisdialDataset
+    from unimm_tpu.data.loader import DataLoader
+    from unimm_tpu.eval import evaluator
+    from unimm_tpu.models import vilbert
+    from tests.test_model import TINY
+
+    paths, tok, reader = fixtures.write_fixture_tree(str(tmp_path))
+    params = fixtures.default_params(paths, val_dis=0, max_seq_len=32,
+                                     num_options=5, max_regions=5)
+    cfg = TINY.replace(vocab_size=tok.vocab_size, max_seq_len=32,
+                       max_regions=5, v_feature_size=64, v_target_size=32)
+    ds = VisdialDataset(params, tok, reader)
+    ds.split = "val"
+    loader = DataLoader(ds, 3, num_workers=2)
+    p1 = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    p2 = vilbert.init_params(jax.random.PRNGKey(1), cfg)
+    metrics = evaluator.evaluate_ensemble(
+        [p1, p2], cfg, loader, mode="ll_sum", chunk_size=32,
+        dtype=jnp.float32)
+    assert 0 <= metrics["ndcg"] <= 1 and metrics["mean"] >= 1
+
+
+def test_tokenizer_decode_roundtrip():
+    from tests.fixtures import make_tokenizer
+    tok = make_tokenizer()
+    ids = tok.encode("w1 w42 w7")
+    assert tok.decode(ids) == "w1 w42 w7"
+
+
+def test_metrics_logger(tmp_path):
+    from unimm_tpu.utils.logging import MetricsLogger
+    log = MetricsLogger(str(tmp_path / "logs"))
+    log.line_plot(1, 0.5, "loss", "lm loss")
+    log.line_plot(2, 0.4, "loss", "lm loss")
+    log.line_plot(1, 0.9, "Retrieval Val Metrics", "ndcg")
+    log.add_text("hello")
+    log.close()
+    rows = list(csv.reader(open(tmp_path / "logs" / "loss.csv")))
+    assert rows[0] == ["time", "x", "line", "y"]
+    assert len(rows) == 3 and rows[2][3] == "0.4"
+    assert os.path.exists(tmp_path / "logs" / "Retrieval_Val_Metrics.csv")
+    assert "hello" in open(tmp_path / "logs" / "notes.txt").read()
+    # disabled logger is a no-op
+    off = MetricsLogger(None)
+    off.line_plot(1, 1.0, "x", "y")
+    off.close()
