@@ -111,3 +111,31 @@ def test_feature_reader_pipeline(tmp_path):
     assert n == expected[1]
     np.testing.assert_array_equal(loc, expected[2])
     np.testing.assert_array_equal(cls_prob, expected[4])
+
+
+def test_short_and_corrupt_files(tmp_path):
+    """Truncated/garbage files fail cleanly (ValueError / None), never
+    crash or read out of bounds."""
+    short = tmp_path / "short.mdb"
+    short.write_bytes(b"\x00" * 100)
+    with pytest.raises(ValueError):
+        nlmdb._PythonDB(str(short))
+    try:
+        with pytest.raises(ValueError):
+            nlmdb._NativeDB(str(short))
+    except RuntimeError:
+        pass
+    # valid magic but absurd psize field: must not be used as an offset
+    import struct
+    from unimm_tpu.native.lmdb_format import MAGIC, PAGEHDRSZ, VERSION
+    evil = bytearray(16384)
+    struct.pack_into("<QHHHH", evil, 0, 0, 0, 0x08, PAGEHDRSZ, 4096)
+    struct.pack_into("<II", evil, PAGEHDRSZ, MAGIC, VERSION)
+    struct.pack_into("<I", evil, PAGEHDRSZ + 24, 16384 - 100)  # psize field
+    # empty tree root in MAIN_DBI (db1 root at meta+8+16+48+40)
+    struct.pack_into("<Q", evil, PAGEHDRSZ + 8 + 16 + 48 + 40,
+                     0xFFFFFFFFFFFFFFFF)
+    p = tmp_path / "evil.mdb"
+    p.write_bytes(bytes(evil))
+    db = nlmdb._PythonDB(str(p))     # meta0 accepted, offset not trusted
+    assert db.get(b"x") is None

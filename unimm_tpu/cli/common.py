@@ -42,12 +42,23 @@ def build_config(params: dict) -> VilbertConfig:
 
 
 def eval_mesh(params: dict):
-    """Data-parallel mesh over all local devices for sharded eval (None on a
-    single chip)."""
+    """Mesh over all local devices for sharded eval (None on a single chip).
+    Honors -mesh_mp: a dp x mp mesh with tensor-parallel param sharding."""
     if len(jax.devices()) > 1:
         from unimm_tpu.parallel import mesh as pmesh
-        return pmesh.make_mesh(mp=1)
+        return pmesh.make_mesh(mp=params.get("mesh_mp", 1) or 1)
     return None
+
+
+def place_params_for_eval(model_params, mesh):
+    """Commit eval params onto the eval mesh (replicated over dp, sharded
+    over mp). Without this, params restored from a native Orbax directory
+    arrive committed to device 0 and conflict with dp-sharded eval chunks."""
+    if mesh is None:
+        return model_params
+    from unimm_tpu.parallel import mesh as pmesh
+    placed, _ = pmesh.shard_params(model_params, mesh)
+    return placed
 
 
 class StepProfiler:

@@ -48,21 +48,11 @@ def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
             r_enc, r_head = jax.random.split(rng)
             t_seq, v_seq, pt, pv = unimm.encode(
                 params, cfg, batch, train=True, rng=r_enc, dtype=dtype)
-            # gathered MLM loss (no [100, 256, 30522] logits — they would
-            # cost ~12GB fp32 with gradients on a 16GB chip)
-            pos, labs = unimm.label_positions(
-                batch["mlm_labels"], cfg.max_train_label_positions)
-            w_g = jnp.take_along_axis(batch["lm_weight"], pos, axis=-1)
-            hidden = vilbert.mlm_head_at_positions(params, cfg, t_seq, pos)
-            decoder = params["bert"]["embeddings"]["word_embeddings"].astype(
-                hidden.dtype)
-            dbias = params["cls"]["predictions"]["bias"].astype(jnp.float32)
-            nll = L.online_softmax_xent_vjp(hidden, decoder, dbias, labs)
-            num_tokens = jnp.sum(
-                (batch["lm_weight"] != 0).astype(jnp.float32))
-            lm = L.masked_lm_ul_loss_gathered(nll, labs, w_g, num_tokens)
-            img_logits, nsp_logits = vilbert.nsp_and_img_heads(
-                params, cfg, v_seq, pt, pv, train=True, rng=r_head)
+            # gathered path avoids the [100, 256, 30522] logits (~12GB fp32
+            # with gradients); honors cfg.mlm_loss_impl like forward_train
+            lm, img_logits, nsp_logits = unimm.lm_loss_and_heads(
+                params, cfg, t_seq, v_seq, pt, pv, batch, train=True,
+                rng=r_head)
             nsp = L.nsp_loss(nsp_logits, batch["next_sentence_label"], None)
             nsp_probs = jax.nn.softmax(
                 nsp_logits.astype(jnp.float32), axis=-1)[:, 0]

@@ -72,19 +72,30 @@ def main(argv=None):
     start_iter = 0
     if params["continue"] and params["start_path"]:
         latest = C.latest_native(params["start_path"])
-        if latest:
-            path, step_no = latest
-            state = C.restore_native(path, jax.device_get(state))
-            # restored leaves arrive host-committed; re-establish device
-            # placement (params under their mesh shardings, the rest
-            # replicated) so every train_step input agrees on devices
-            repl = pmesh.replicated(mesh)
-            state["params"], _ = pmesh.shard_params(state["params"], mesh)
-            for k in ("opt_state", "step", "rng"):
-                state[k] = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, repl), state[k])
-            start_iter = int(np.asarray(state["step"]))
-            print(f"restored native checkpoint at step {start_iter}")
+        if latest is None:
+            # fail loudly: silently training from random weights under
+            # -continue would overwrite the run (the reference's torch.load
+            # also crashes on a missing file)
+            raise FileNotFoundError(
+                f"-continue: no native checkpoint under "
+                f"{params['start_path']!r}")
+        path, step_no = latest
+        host_state = C.restore_native(path, jax.device_get(state))
+
+        # re-establish the pre-restore placement: mesh-sharded leaves
+        # (params + the Adam moments tx.init derived from them) go back to
+        # their NamedShardings — replicating the moments would OOM the
+        # sharded-model case; everything else (scalar counts, rng) stays
+        # uncommitted so jit may place it freely
+        def _replace(tmpl, v):
+            s = getattr(tmpl, "sharding", None)
+            if isinstance(s, jax.sharding.NamedSharding):
+                return jax.device_put(v, s)
+            return jnp.asarray(v)
+
+        state = jax.tree_util.tree_map(_replace, state, host_state)
+        start_iter = int(np.asarray(state["step"]))
+        print(f"restored native checkpoint at step {start_iter}")
 
     train_step = tstep.make_train_step(
         cfg, tx, lm_coeff=params["lm_loss_coeff"],

@@ -34,12 +34,14 @@ def main(argv=None):
                         num_workers=params["num_workers"])
 
     template = vilbert.init_params(jax.random.PRNGKey(0), cfg)
-    ensemble = common.load_ensemble(params, template)
+    mesh = _mesh(params)
+    ensemble = [common.place_params_for_eval(p, mesh)
+                for p in common.load_ensemble(params, template)]
     ranks = []
     metrics = evaluator.evaluate_ensemble(
         ensemble, cfg, loader, mode="nsp", chunk_size=params["eval_chunk"],
         dtype=common.compute_dtype(params), ranks_out=ranks,
-        mesh=_mesh(params))
+        mesh=mesh)
     evaluator.dump_ranks(ranks, (params["save_name"] or "val")
                          + "_predictions.txt")
     common.print_metrics(metrics)

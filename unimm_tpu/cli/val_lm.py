@@ -33,12 +33,14 @@ def main(argv=None, mode: str = "ll_sum"):
                         num_workers=params["num_workers"])
     print("len_dataloader_eval:", len(loader))
 
-    model_params = common.init_model(params, cfg)
+    mesh = _mesh(params)
+    model_params = common.place_params_for_eval(
+        common.init_model(params, cfg), mesh)
     ranks = []
     metrics = evaluator.evaluate_split(
         model_params, cfg, loader, mode=mode,
         chunk_size=params["eval_chunk"], dtype=common.compute_dtype(params),
-        ranks_out=ranks, mesh=_mesh(params))
+        ranks_out=ranks, mesh=mesh)
     evaluator.dump_ranks(ranks, (params["save_name"] or "val_lm")
                          + "_predictions.txt")
     common.print_metrics(metrics)

@@ -125,11 +125,28 @@ def forward_train(params, cfg: VilbertConfig, batch, *, rng,
     r_enc, r_head = (jax.random.split(rng) if rng is not None else (None, None))
     t_seq, v_seq, pooled_t, pooled_v = encode(
         params, cfg, batch, train=train, rng=r_enc, dtype=dtype)
+    lm, img_logits, nsp_logits = lm_loss_and_heads(
+        params, cfg, t_seq, v_seq, pooled_t, pooled_v, batch, train=train,
+        rng=r_head)
+    img_loss_fn = (L.masked_img_loss_mse if cfg.predict_feature
+                   else L.masked_img_loss)
+    return {
+        "lm": lm,
+        "img": img_loss_fn(img_logits, batch["image_target"],
+                           batch["image_label"]),
+        "nsp": L.nsp_loss(nsp_logits, batch["next_sentence_label"], nsp_weight),
+    }
 
+
+def lm_loss_and_heads(params, cfg: VilbertConfig, t_seq, v_seq, pooled_t,
+                      pooled_v, batch, *, train, rng):
+    """MLM likelihood+unlikelihood loss + NSP/image head logits, honoring
+    cfg.mlm_loss_impl: 'gathered' computes NLL at gathered label positions
+    with the chunk-recomputing custom VJP (no [N, L, vocab] logits — the
+    reference always materialises them, vilbert_dialog.py:1069); 'dense' is
+    the exactness oracle. Shared by forward_train and the dense-finetuning
+    step."""
     if cfg.mlm_loss_impl == "gathered":
-        # never materialise [N, L, vocab] logits: NLL at gathered label
-        # positions with a chunk-recomputing custom VJP (the reference
-        # always computes full logits, vilbert_dialog.py:1069)
         pos, labs = label_positions(batch["mlm_labels"],
                                     cfg.max_train_label_positions)
         w_g = jnp.take_along_axis(batch["lm_weight"], pos, axis=-1)
@@ -142,21 +159,14 @@ def forward_train(params, cfg: VilbertConfig, batch, *, rng,
             (batch["lm_weight"] != 0).astype(jnp.float32))
         lm = L.masked_lm_ul_loss_gathered(nll, labs, w_g, num_tokens)
         img_logits, nsp_logits = vilbert.nsp_and_img_heads(
-            params, cfg, v_seq, pooled_t, pooled_v, train=train, rng=r_head)
+            params, cfg, v_seq, pooled_t, pooled_v, train=train, rng=rng)
     else:
         mlm_logits, img_logits, nsp_logits = vilbert.pretraining_heads(
             params, cfg, t_seq, v_seq, pooled_t, pooled_v, train=train,
-            rng=r_head)
+            rng=rng)
         lm = L.masked_lm_ul_loss(mlm_logits, batch["mlm_labels"],
                                  batch["lm_weight"])
-    img_loss_fn = (L.masked_img_loss_mse if cfg.predict_feature
-                   else L.masked_img_loss)
-    return {
-        "lm": lm,
-        "img": img_loss_fn(img_logits, batch["image_target"],
-                           batch["image_label"]),
-        "nsp": L.nsp_loss(nsp_logits, batch["next_sentence_label"], nsp_weight),
-    }
+    return lm, img_logits, nsp_logits
 
 
 def label_positions(mlm_labels, max_positions: int = MAX_LABEL_POSITIONS):

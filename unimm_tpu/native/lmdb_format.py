@@ -68,6 +68,8 @@ class Reader:
     # -- meta ---------------------------------------------------------------
     def _read_meta(self, off: int):
         mm = self._mm
+        if off + 136 > len(mm):   # meta struct spans 136 bytes from off
+            return None
         magic, version = struct.unpack_from("<II", mm, off)
         if magic != MAGIC or version != VERSION:
             return None
@@ -88,11 +90,11 @@ class Reader:
         meta0 = self._read_meta(PAGEHDRSZ)
         best = meta0
         psize = meta0[1][0] if meta0 else 4096
-        off1 = psize + PAGEHDRSZ
-        if off1 + 128 <= len(self._mm):
-            meta1 = self._read_meta(off1)
-            if meta1 and (best is None or meta1[0] > best[0]):
-                best = meta1
+        if not (512 <= psize <= 1 << 20) or psize & (psize - 1):
+            psize = 4096   # implausible psize field: don't trust the offset
+        meta1 = self._read_meta(psize + PAGEHDRSZ)
+        if meta1 and (best is None or meta1[0] > best[0]):
+            best = meta1
         if best is None:
             raise ValueError(f"not an LMDB data file: {self.path}")
         return best[1]

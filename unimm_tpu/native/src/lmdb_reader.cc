@@ -120,11 +120,15 @@ void* mdbr_open(const char* path) {
   uint64_t psize0 = 4096;
   for (int pg = 0; pg < 2; ++pg) {
     size_t off = (pg == 0 ? 0 : psize0) + kPageHdr;
-    if (off + 128 > h->size) continue;
+    // the meta struct spans 136 bytes from `off` (txnid ends at off+136)
+    if (off + 136 > h->size) continue;
     const uint8_t* m = h->map + off;
     if (rd<uint32_t>(m) != kMagic || rd<uint32_t>(m + 4) != kVersion) continue;
     const uint8_t* db0 = m + 8 + 16;
     uint64_t psize = rd<uint32_t>(db0);
+    // sanity-check the file-provided page size before using it as an offset
+    if (psize < 512 || psize > (1u << 20) || (psize & (psize - 1)) != 0)
+      continue;
     if (pg == 0) psize0 = psize;
     const uint8_t* db1 = db0 + 48;
     uint64_t entries = rd<uint64_t>(db1 + 32);
