@@ -66,12 +66,17 @@ def main():
                      for _ in range(3)]
             for f in flats:                      # compile + warmup
                 ev.score_flat(params, f)
-            iters = 6
-            t0 = time.perf_counter()
-            for i in range(iters):
-                ev.score_flat(params, flats[i % 3])
-            dt = time.perf_counter() - t0
-            seq_per_sec = B * R * O * iters / dt
+            # pinned protocol: 3 repeats of 6 scoring passes over 3 distinct
+            # batches (byte-identical dispatches can return memoised through
+            # the TPU relay); report the median repeat
+            iters, repeats = 6, []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    ev.score_flat(params, flats[i % 3])
+                dt = time.perf_counter() - t0
+                repeats.append(B * R * O * iters / dt)
+            seq_per_sec = sorted(repeats)[len(repeats) // 2]
             B_used = chunk
             break
         except Exception:  # OOM fallback to smaller chunks
@@ -87,6 +92,7 @@ def main():
         "unit": "dialogs/s/chip",
         "vs_baseline": round(dialogs_per_sec / BASELINE_DIALOGS_PER_SEC_PER_CHIP, 2),
         "detail": {"seq_per_sec": round(seq_per_sec, 1), "batch": B,
+                   "repeats_seq_per_sec": [round(r, 1) for r in repeats],
                    "backend": jax.devices()[0].platform},
     }))
 

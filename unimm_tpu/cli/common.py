@@ -41,12 +41,26 @@ def build_config(params: dict) -> VilbertConfig:
                        remat=bool(params.get("remat", 0)))
 
 
+def mesh_device_count(params: dict) -> int:
+    """-n_gpus semantics (reference options.py:58 'number of gpus running the
+    job'): a positive value is the mesh device count; 0 (our default) means
+    all local devices."""
+    n = int(params.get("n_gpus", 0) or 0)
+    avail = len(jax.devices())
+    if n <= 0:
+        return avail
+    assert n <= avail, f"-n_gpus {n} > {avail} available devices"
+    return n
+
+
 def eval_mesh(params: dict):
-    """Mesh over all local devices for sharded eval (None on a single chip).
-    Honors -mesh_mp: a dp x mp mesh with tensor-parallel param sharding."""
-    if len(jax.devices()) > 1:
+    """Mesh over the -n_gpus-selected devices for sharded eval (None when a
+    single device is selected). Honors -mesh_mp: a dp x mp mesh with
+    tensor-parallel param sharding."""
+    n = mesh_device_count(params)
+    if n > 1:
         from unimm_tpu.parallel import mesh as pmesh
-        return pmesh.make_mesh(mp=params.get("mesh_mp", 1) or 1)
+        return pmesh.make_mesh(n, mp=params.get("mesh_mp", 1) or 1)
     return None
 
 

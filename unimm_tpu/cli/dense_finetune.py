@@ -105,7 +105,8 @@ def main(argv=None):
     num_iter_epoch = max(len(loader), 1) if not params["overfit"] else 1
     print(f"\n{num_iter_epoch} iter per epoch.")
 
-    mesh = pmesh.make_mesh(mp=params["mesh_mp"])
+    mesh = pmesh.make_mesh(common.mesh_device_count(params),
+                           mp=params["mesh_mp"])
     model_params = common.init_model(params, cfg)
     model_params, _ = pmesh.shard_params(model_params, mesh)
     lang = None

@@ -60,8 +60,9 @@ def read_command_line(argv=None) -> dict:
     parser.add_argument('-num_train_samples', default=0, type=int)
     parser.add_argument('-num_val_samples', default=0, type=int)
     parser.add_argument('-num_options', default=100, type=int)
-    parser.add_argument('-n_gpus', default=1, type=int,
-                        help='kept for CLI parity; = number of mesh devices')
+    parser.add_argument('-n_gpus', default=0, type=int,
+                        help='number of mesh devices (reference semantics: '
+                             'devices running the job); 0 = all local devices')
     parser.add_argument('-sequences_per_image', default=8, type=int)
     parser.add_argument('-visdial_tot_rounds', default=11, type=int)
     parser.add_argument('-max_seq_len', default=256, type=int)

@@ -53,7 +53,8 @@ def main(argv=None):
     print(f"\n{len(dataset)} train data.")
     print(f"\n{num_iter_epoch} iter per epoch.")
 
-    mesh = pmesh.make_mesh(mp=params["mesh_mp"])
+    mesh = pmesh.make_mesh(common.mesh_device_count(params),
+                           mp=params["mesh_mp"])
     # under -continue the start_path is the native full-state directory,
     # restored below into the complete train state — not a params-only load
     init_params_dict = (dict(params, start_path="") if params["continue"]
