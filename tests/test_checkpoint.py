@@ -125,3 +125,116 @@ def test_group_labels(params):
                          lang) == "img_decay"
     assert C.group_label(("bert", "v_embeddings", "image_embeddings",
                           "bias"), lang) == "img_nodecay"
+
+
+def test_reference_opt_state_resume_matches_uninterrupted(tmp_path, params):
+    """-continue from a reference-format .ckpt restores Adam moments and the
+    schedule position: a restored optimizer must produce the SAME next-step
+    update as one that was never interrupted (reference train.py:371-386)."""
+    import jax.numpy as jnp
+
+    from unimm_tpu.train import optim
+
+    lang = ["bert.encoder.layer.0.attention.self.query.weight",
+            "cls.predictions.transform.dense.weight",
+            "cls.predictions.bias"]
+    ocfg = optim.OptimConfig(lr=1e-3, image_lr=5e-4, batch_multiply=2,
+                             warmup_steps=4, t_total=40)
+    tx = optim.make_optimizer(params, ocfg, lang)
+
+    def rand_grads(seed):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [0.01 * jax.random.normal(k, l.shape)
+                      for k, l in zip(keys, leaves)])
+
+    # 6 micro-steps = 3 real updates under batch_multiply=2
+    p, st = params, tx.init(params)
+    import optax
+    for i in range(6):
+        upd, st = tx.update(rand_grads(i), st, p)
+        p = optax.apply_updates(p, upd)
+
+    iter_id = 6
+    path = str(tmp_path / "ref_resume.ckpt")
+    C.save_reference_ckpt(path, p, iter_id, opt_state=st,
+                          lang_set=C.language_param_set(lang),
+                          lr=ocfg.lr, image_lr=ocfg.image_lr)
+
+    p2, st2, got_iter, n = C.load_reference_train_state(
+        path, params, tx, batch_multiply=ocfg.batch_multiply)
+    assert got_iter == iter_id and n > 0
+    np.testing.assert_allclose(
+        np.asarray(p2["cls"]["predictions"]["bias"]),
+        np.asarray(p["cls"]["predictions"]["bias"]), rtol=0, atol=0)
+
+    # moments round-trip exactly
+    mu_a, nu_a, c_a = C.extract_adam_moments(st, p)
+    mu_b, nu_b, c_b = C.extract_adam_moments(st2, p2)
+    assert c_a == c_b == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        mu_a, mu_b)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        nu_a, nu_b)
+
+    # identical next TWO micro-steps (one full accumulation window) on the
+    # continued vs the restored optimizer -> bit-identical params
+    pa, sa, pb, sb = p, st, p2, st2
+    for i in (100, 101):
+        g = rand_grads(i)
+        ua, sa = tx.update(g, sa, pa)
+        pa = optax.apply_updates(pa, ua)
+        ub, sb = tx.update(g, sb, pb)
+        pb = optax.apply_updates(pb, ub)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        pa, pb)
+
+
+def test_load_reference_train_state_weights_only_ckpt(tmp_path, params):
+    """A weights-only .ckpt (no optimizer_state_dict) still resumes: fresh
+    optimizer state, iter_id preserved."""
+    from unimm_tpu.train import optim
+
+    path = str(tmp_path / "weights_only.ckpt")
+    C.save_reference_ckpt(path, params, 123)
+    tx = optim.make_optimizer(params, optim.OptimConfig())
+    p2, st2, iter_id, n = C.load_reference_train_state(path, params, tx)
+    assert iter_id == 123 and n > 0
+    mu, nu, count = C.extract_adam_moments(st2, p2)
+    assert count == 0
+    assert all(float(np.abs(x).sum()) == 0
+               for x in jax.tree_util.tree_leaves(mu))
+
+
+def test_exported_opt_state_loads_into_torch_adamw(tmp_path, params):
+    """The exported optimizer_state_dict is loadable by a torch AdamW built
+    the reference way (one param group per parameter, train.py:329-346)."""
+    torch = pytest.importorskip("torch")
+    from unimm_tpu.train import optim
+
+    tx = optim.make_optimizer(params, optim.OptimConfig())
+    st = tx.init(params)
+    path = str(tmp_path / "for_torch.ckpt")
+    C.save_reference_ckpt(path, params, 7, opt_state=st, lang_set=set())
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    msd = blob["model_state_dict"]
+    t_params, groups = [], []
+    for k, v in msd.items():
+        if C._normalize_key(k) == "cls.predictions.decoder.weight":
+            continue
+        tp = torch.nn.Parameter(v.clone().float())
+        t_params.append(tp)
+        groups.append({"params": [tp]})
+    opt = torch.optim.AdamW(groups, lr=2e-5)
+    opt.load_state_dict(blob["optimizer_state_dict"])
+    for tp in t_params:
+        tp.grad = torch.zeros_like(tp)
+    opt.step()  # state is structurally sound for torch

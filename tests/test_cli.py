@@ -192,3 +192,24 @@ def test_n_gpus_limits_mesh_device_count(cli_world):
     k = state["params"]["bert"]["encoder"]["layer"]["0"]["intermediate"][
         "dense"]["kernel"]
     assert len(k.sharding.mesh.devices.flatten()) == 2
+
+
+def test_train_continue_from_reference_ckpt(cli_world):
+    """-continue with a reference-format .ckpt (not a native dir) resumes
+    with Adam moments + schedule restored (reference train.py:371-386)."""
+    from unimm_tpu.cli import train
+    os.chdir(cli_world["root"])
+    ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_train")
+    name = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")][0]
+    saved_iter = int(name.rsplit("_", 1)[1].split(".")[0])
+    state = train.main(_argv(cli_world, [
+        "-overfit", "-num_epochs", "1", "-batch_size", "12",
+        "-sequences_per_image", "6", "-num_negative_samples", "1",
+        "-eval_every_epochs", "5", "-continue",
+        "-start_path", os.path.join(ckpt_dir, name),
+        "-save_name", "t_cont_ref"]))
+    assert int(np.asarray(state["step"])) > saved_iter
+    from unimm_tpu import checkpoint as C
+    _mu, _nu, count = C.extract_adam_moments(state["opt_state"],
+                                             state["params"])
+    assert count > 0

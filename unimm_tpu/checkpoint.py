@@ -153,13 +153,201 @@ def load_reference_ckpt(path: str, params_template):
     return params, iter_id, n, skipped
 
 
-def save_reference_ckpt(path: str, params, iter_id: int = 0):
-    """Write a reference-format checkpoint dict (model weights + iter_id)."""
+def _graft_opt_state(node, mu_full, nu_full, upd_count, sched_count):
+    """Rebuild an optax state pytree with restored Adam moments/counters.
+
+    Replaces every ScaleByAdamState's (count, mu, nu), every
+    ScaleByScheduleState count (the LR-schedule position), and MultiSteps'
+    gradient_step; leaves masked-out group slots (MaskedNode) and everything
+    else untouched."""
+    import optax
+
+    def rec(n):
+        name = type(n).__name__
+        if isinstance(n, optax.ScaleByAdamState):
+            def graft(tmpl, full):
+                if isinstance(tmpl, dict):
+                    return {k: graft(v, full[k]) for k, v in tmpl.items()}
+                if isinstance(tmpl, optax.MaskedNode):
+                    return tmpl
+                return jax.numpy.asarray(np.asarray(full, dtype=np.float32))
+            return n._replace(
+                count=jax.numpy.asarray(upd_count, n.count.dtype),
+                mu=graft(n.mu, mu_full), nu=graft(n.nu, nu_full))
+        if name == "ScaleByScheduleState":
+            return n._replace(
+                count=jax.numpy.asarray(sched_count, n.count.dtype))
+        if name == "MultiStepsState":
+            return n._replace(
+                mini_step=jax.numpy.zeros_like(n.mini_step),
+                gradient_step=jax.numpy.asarray(upd_count,
+                                                n.gradient_step.dtype),
+                inner_opt_state=rec(n.inner_opt_state))
+        if hasattr(n, "_fields"):  # generic NamedTuple optax state
+            return type(n)(*(rec(getattr(n, f)) for f in n._fields))
+        if isinstance(n, tuple):
+            return type(n)(rec(x) for x in n)
+        if isinstance(n, list):
+            return [rec(x) for x in n]
+        if isinstance(n, dict):
+            return {k: rec(v) for k, v in n.items()}
+        return n
+
+    return rec(node)
+
+
+def load_reference_train_state(path: str, params_template, tx,
+                               batch_multiply: int = 1):
+    """Full ``-continue`` restore from a reference-format .ckpt: model weights
+    + AdamW exp_avg/exp_avg_sq/step + LR-schedule position
+    (/root/reference/train.py:371-386).
+
+    The torch optimizer state is keyed by global param index; the reference
+    builds one param group per parameter in ``named_parameters()`` order,
+    which equals the saved ``model_state_dict`` key order minus the tied
+    ``cls.predictions.decoder.weight`` duplicate (named_parameters removes
+    shared tensors). The schedule ticks every micro-iteration in the
+    reference (train.py:463) while our optax MultiSteps counts real updates,
+    so the restored schedule count is ``iter_id // batch_multiply``.
+
+    Returns (params, opt_state, iter_id, n_transferred).
+    """
     import torch
 
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if "model_state_dict" not in blob:
+        raise ValueError(f"{path} is not a full reference checkpoint "
+                         "(no model_state_dict)")
+    iter_id = int(blob.get("iter_id", blob.get("iterId", 0)) or 0)
+    msd = blob["model_state_dict"]
+    state = {k: v.numpy() if hasattr(v, "numpy") else v
+             for k, v in msd.items()}
+    params, n, _ = from_torch_state_dict(params_template, state)
+    opt_state = tx.init(params)
+
+    osd = blob.get("optimizer_state_dict")
+    if not osd or not osd.get("state"):
+        return params, opt_state, iter_id, n
+
+    index_names = [k for k in msd.keys()
+                   if _normalize_key(k) != "cls.predictions.decoder.weight"]
+    nm = name_map(params_template)
+    mu_full = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, np.float32),
+                                     jax.device_get(params))
+    nu_full = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, np.float32),
+                                     jax.device_get(params))
+
+    def set_path(tree, p, value):
+        for k in p[:-1]:
+            tree = tree[k]
+        tree[p[-1]] = value
+
+    step_val = 0
+    for idx, pstate in osd["state"].items():
+        name = _normalize_key(index_names[int(idx)])
+        if name not in nm:
+            continue
+        p = nm[name]
+        mu = np.asarray(pstate["exp_avg"], np.float32)
+        nu = np.asarray(pstate["exp_avg_sq"], np.float32)
+        if p[-1] == "kernel":
+            mu, nu = mu.T, nu.T
+        set_path(mu_full, p, mu)
+        set_path(nu_full, p, nu)
+        s = pstate.get("step", 0)
+        step_val = max(step_val, int(np.asarray(s)))
+
+    sched_count = iter_id // max(1, batch_multiply)
+    opt_state = _graft_opt_state(opt_state, mu_full, nu_full,
+                                 step_val, sched_count)
+    return params, opt_state, iter_id, n
+
+
+def extract_adam_moments(opt_state, params):
+    """Merge the per-group ScaleByAdamState mu/nu back into full
+    params-shaped host trees. Returns (mu, nu, count) — the inverse of the
+    grafting in load_reference_train_state."""
+    import optax
+
+    mu_full = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, np.float32),
+                                     jax.device_get(params))
+    nu_full = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, np.float32),
+                                     jax.device_get(params))
+    count = 0
+
+    def fill(full, part):
+        if isinstance(part, dict):
+            for k, v in part.items():
+                fill(full[k], v)
+        elif not isinstance(part, optax.MaskedNode):
+            full[...] = np.asarray(jax.device_get(part), np.float32)
+
+    def rec(n):
+        nonlocal count
+        if isinstance(n, optax.ScaleByAdamState):
+            count = max(count, int(np.asarray(jax.device_get(n.count))))
+            fill(mu_full, n.mu)
+            fill(nu_full, n.nu)
+            return
+        if hasattr(n, "_fields"):
+            for f in n._fields:
+                rec(getattr(n, f))
+        elif isinstance(n, (tuple, list)):
+            for x in n:
+                rec(x)
+        elif isinstance(n, dict):
+            for x in n.values():
+                rec(x)
+
+    rec(opt_state)
+    return mu_full, nu_full, count
+
+
+def save_reference_ckpt(path: str, params, iter_id: int = 0, opt_state=None,
+                        lang_set=None, lr: float = 2e-5,
+                        image_lr: float = 2e-5):
+    """Write a reference-format checkpoint dict (train.py:504-505 layout).
+
+    With ``opt_state`` the torch AdamW ``optimizer_state_dict`` (one param
+    group per parameter, reference train.py:329-346) and a
+    ``scheduler_state_dict`` are included, so ``-continue`` in the REFERENCE
+    codebase restores Adam moments and the schedule from our checkpoints."""
+    import torch
+
+    sd_np = to_torch_state_dict(params)
     sd = {k: torch.from_numpy(np.array(v, copy=True))
-          for k, v in to_torch_state_dict(params).items()}
-    torch.save({"model_state_dict": sd, "iter_id": iter_id}, path)
+          for k, v in sd_np.items()}
+    blob = {"model_state_dict": sd, "iter_id": iter_id}
+
+    if opt_state is not None:
+        mu, nu, count = extract_adam_moments(opt_state, params)
+        mu_t = to_torch_state_dict(mu, prefix="bert_pretrained.",
+                                   include_tied_decoder=False)
+        nu_t = to_torch_state_dict(nu, prefix="bert_pretrained.",
+                                   include_tied_decoder=False)
+        index_names = [k for k in sd_np.keys()
+                       if _normalize_key(k) != "cls.predictions.decoder.weight"]
+        lang_set = lang_set or set()
+        state, groups = {}, []
+        for i, name in enumerate(index_names):
+            state[i] = {"step": count,
+                        "exp_avg": torch.from_numpy(mu_t[name]),
+                        "exp_avg_sq": torch.from_numpy(nu_t[name])}
+            key = _normalize_key(name)
+            base = lr if key in lang_set else image_lr
+            nodecay = ("bias" in key) or ("LayerNorm.weight" in key)
+            groups.append({"params": [i], "lr": base,
+                           "weight_decay": 0.0 if nodecay else 0.01,
+                           "betas": (0.9, 0.999), "eps": 1e-6,
+                           "correct_bias": True})
+        blob["optimizer_state_dict"] = {"state": state,
+                                        "param_groups": groups}
+        blob["scheduler_state_dict"] = {
+            "last_epoch": iter_id, "_step_count": iter_id + 1,
+            "base_lrs": [g["lr"] for g in groups],
+            "warmup_steps": 10000, "t_total": 200000,
+        }
+    torch.save(blob, path)
 
 
 # ---------------------------------------------------------------------------

@@ -72,16 +72,27 @@ def main(argv=None):
 
     start_iter = 0
     if params["continue"] and params["start_path"]:
-        latest = C.latest_native(params["start_path"])
-        if latest is None:
-            # fail loudly: silently training from random weights under
-            # -continue would overwrite the run (the reference's torch.load
-            # also crashes on a missing file)
-            raise FileNotFoundError(
-                f"-continue: no native checkpoint under "
-                f"{params['start_path']!r}")
-        path, step_no = latest
-        host_state = C.restore_native(path, jax.device_get(state))
+        if os.path.isfile(params["start_path"]):
+            # reference-format .ckpt: full-state resume (weights + AdamW
+            # moments + schedule position, reference train.py:371-386)
+            host_params, host_opt, iter0, n = C.load_reference_train_state(
+                params["start_path"], jax.device_get(state["params"]), tx,
+                batch_multiply=params["batch_multiply"])
+            print(f"-continue from reference .ckpt: {n} tensors, "
+                  f"iter_id {iter0}, Adam moments + schedule restored")
+            host_state = dict(state, params=host_params, opt_state=host_opt,
+                              step=jnp.asarray(iter0, jnp.int32))
+        else:
+            latest = C.latest_native(params["start_path"])
+            if latest is None:
+                # fail loudly: silently training from random weights under
+                # -continue would overwrite the run (the reference's
+                # torch.load also crashes on a missing file)
+                raise FileNotFoundError(
+                    f"-continue: no native checkpoint under "
+                    f"{params['start_path']!r}")
+            path, step_no = latest
+            host_state = C.restore_native(path, jax.device_get(state))
 
         # re-establish the pre-restore placement: mesh-sharded leaves
         # (params + the Adam moments tx.init derived from them) go back to
@@ -143,7 +154,10 @@ def main(argv=None):
             C.save_reference_ckpt(
                 os.path.join(params["save_path"],
                              f"visdial_dialog_encoder_{iter_id}.ckpt"),
-                jax.device_get(state["params"]), iter_id)
+                jax.device_get(state["params"]), iter_id,
+                opt_state=state["opt_state"],
+                lang_set=C.language_param_set(lang) if lang else set(),
+                lr=params["lr"], image_lr=params["image_lr"])
 
         if epoch_id % params["eval_every_epochs"] == 0:
             dataset.split = "val"
