@@ -121,3 +121,22 @@ def test_collate_and_flatten(world):
     # no subsample path keeps everything
     flat_all = D.flatten_for_forward(batch)
     assert flat_all["tokens"].shape[0] == B * R * S
+
+
+def test_neg_fallback_counter(world):
+    """A tiny max_seq_len forces the negative-sampling truncation fallback
+    (dataloader_visdial.py:178-183 quirk) and the stats counter records it."""
+    params, tok, reader = world
+    ds = D.VisdialDataset(dict(params, max_seq_len=20), tok, reader)
+    ds.split = "train"
+    assert ds.stats["neg_truncation_fallbacks"] == 0
+    for i in range(len(ds)):
+        ds[i]
+    assert ds.stats["neg_truncation_fallbacks"] > 0
+
+    # ... and a roomy budget never triggers it
+    ds2 = D.VisdialDataset(dict(params, max_seq_len=256), tok, reader)
+    ds2.split = "train"
+    for i in range(len(ds2)):
+        ds2[i]
+    assert ds2.stats["neg_truncation_fallbacks"] == 0

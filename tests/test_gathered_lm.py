@@ -101,3 +101,34 @@ def test_forward_train_gathered_equals_dense():
             a, b = a[k], b[k]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6, err_msg=str(path))
+
+
+def test_label_budget_overflow_metric():
+    """train_step reports how many sequences exceed the gathered-MLM label
+    budget (telemetry for the documented truncation, config.py
+    max_train_label_positions)."""
+    from unimm_tpu.train import optim, step as tstep
+
+    cfg = TINY.replace(max_train_label_positions=4, mlm_loss_impl="gathered")
+    params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, cfg, B=3)
+    B, Lx = 3, cfg.max_seq_len
+    labels = np.full((B, Lx), -1, np.int32)
+    labels[0, 2:12] = 7   # 10 labels > budget 4
+    labels[1, 2:5] = 7    # 3 labels, within budget
+    labels[2, 2:8] = 7    # 6 labels > budget
+    batch.update({
+        "mlm_labels": jnp.asarray(labels),
+        "lm_weight": jnp.asarray((labels != -1).astype(np.float32)),
+        "next_sentence_label": jnp.asarray([0, 1, 0], jnp.int32),
+        "image_target": jnp.asarray(rng.dirichlet(
+            np.ones(cfg.v_target_size), (B, cfg.max_regions)), jnp.float32),
+        "image_label": jnp.asarray(
+            rng.choice([-1, 0, 1], (B, cfg.max_regions)), jnp.int32),
+    })
+    tx = optim.make_optimizer(params, optim.OptimConfig())
+    state = tstep.init_state(params, tx)
+    step = tstep.make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
+    _, metrics = step(state, batch, jnp.asarray([1.0, 1.0]))
+    assert int(metrics["label_budget_overflow"]) == 2

@@ -135,12 +135,16 @@ def main(argv=None):
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - start_t
                 start_t = time.perf_counter()
+                overflow = int(m.get("label_budget_overflow", 0))
+                fallbacks = dataset.stats["neg_truncation_fallbacks"]
                 print(f"[Ep: {iter_id / num_iter_epoch:.2f}][Iter: {iter_id}]"
                       f"[Time: {dt:5.2f}s]"
                       f"[NSP + LM Loss: {m['lm_loss'] + m['nsp_loss']:.3g}]"
                       f"[LM Loss: {m['lm_loss']:.3g}]"
                       f"[NSP Loss: {m['nsp_loss']:.3g}]"
-                      f"[IMG Loss: {m['img_loss']:.3g}]")
+                      f"[IMG Loss: {m['img_loss']:.3g}]"
+                      f"[LabelOverflow: {overflow}]"
+                      f"[NegFallbacks: {fallbacks}]")
                 viz.line_plot(iter_id, m["loss"], "loss", "tot loss")
                 viz.line_plot(iter_id, m["lm_loss"], "loss", "lm loss")
                 viz.line_plot(iter_id, m["nsp_loss"], "loss", "nsp loss")

@@ -63,6 +63,10 @@ class VisdialDataset:
         self.seed = params.get("seed", 0)
         self.epoch = 0
         self._split = "train"
+        # loader telemetry (VERDICT r1 item 8): how often the reference's
+        # negative-sampling truncation fallback (dataloader_visdial.py:178-183
+        # quirk, replicated below) actually fires on this data
+        self.stats = {"neg_truncation_fallbacks": 0}
 
         self.data = {}
         self.num_data_points = {}
@@ -177,6 +181,7 @@ class VisdialDataset:
                     chosen = self.tok.encode(
                         answers[utt["answer_options"][oi]])[: len(a)]
                     all_neg_inds.remove(oi)
+                    self.stats["neg_truncation_fallbacks"] += 1
                 t = cur_rand.copy()
                 t.append(chosen)
                 negatives.append(t)

@@ -52,6 +52,13 @@ def make_train_step(cfg: VilbertConfig, tx, *, lm_coeff=1.0, nsp_coeff=1.0,
         }
         metrics = {"loss": loss, "lm_loss": parts["lm"],
                    "nsp_loss": parts["nsp"], "img_loss": parts["img"]}
+        # telemetry: sequences whose label count exceeds the gathered-MLM
+        # budget (their tail labels are silently truncated on the 'gathered'
+        # path, unimm.lm_loss_and_heads). Unreachable for real VisDial data;
+        # surfaced so a config/data change that makes it reachable is visible.
+        n_lab = jnp.sum(batch["mlm_labels"] != -1, axis=-1)
+        metrics["label_budget_overflow"] = jnp.sum(
+            (n_lab > cfg.max_train_label_positions).astype(jnp.int32))
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
