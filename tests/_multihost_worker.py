@@ -1,0 +1,81 @@
+"""Worker for the 2-process multi-host test (spawned by test_multihost.py).
+
+Each process: 2 virtual CPU devices -> a 4-device global dp x mp mesh, a
+process-sharded DataLoader, and one full sharded training step fed by
+jax.make_array_from_process_local_data (no host-global arrays). Prints
+LOADER/METRICS lines the parent asserts on.
+"""
+
+import os
+import sys
+
+rank = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=rank)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from __graft_entry__ import _synthetic_batch, dryrun_config  # noqa: E402
+from unimm_tpu.data.loader import DataLoader  # noqa: E402
+from unimm_tpu.models import vilbert  # noqa: E402
+from unimm_tpu.parallel import mesh as pmesh  # noqa: E402
+from unimm_tpu.train import optim, step as tstep  # noqa: E402
+
+assert len(jax.devices()) == 2 * nproc
+assert jax.process_index() == rank
+
+
+# ---- 1. process-sharded loader: disjoint halves of each global batch ----
+class Toy:
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, i):
+        return {"x": np.full((2,), i, np.int32)}
+
+
+ld = DataLoader(Toy(), 8, shuffle=True, seed=3, num_workers=2,
+                collate_fn=lambda its: {"x": np.stack([t["x"] for t in its])},
+                process_index=rank, process_count=nproc)
+got = [b["x"][:, 0].tolist() for b in ld]
+print("LOADER", rank, got, flush=True)
+
+# ---- 2. one sharded train step from process-local rows ----
+mesh = pmesh.make_mesh(2 * nproc, mp=2)
+assert pmesh.mesh_process_count(mesh) == nproc
+
+cfg = dryrun_config()
+params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+params, _ = pmesh.shard_params(params, mesh)
+tx = optim.make_optimizer(params, optim.OptimConfig(batch_multiply=1,
+                                                    warmup_steps=10,
+                                                    t_total=100))
+state = tstep.init_state(params, tx, seed=0)
+train_step = tstep.make_train_step(cfg, tx, dtype=jnp.float32)
+
+B = 8  # global; each process contributes B // nproc contiguous rows
+full = {k: np.asarray(v)
+        for k, v in _synthetic_batch(np.random.default_rng(1), cfg, B,
+                                     train=True).items()}
+k = B // nproc
+local = {key: v[rank * k:(rank + 1) * k] for key, v in full.items()}
+batch = pmesh.shard_batch(local, mesh)
+state, metrics = train_step(state, batch, jnp.asarray([1.0, 1.0]))
+m = {key: float(v) for key, v in sorted(metrics.items())}
+assert all(np.isfinite(v) for v in m.values()), m
+print("METRICS", rank, m, flush=True)
+print("WORKER_OK", rank, flush=True)

@@ -43,12 +43,17 @@ def main(argv=None):
 
     dataset = VisdialDataset(params, tokenizer, reader)
     dataset.split = "train"
+    # multi-host: every process computes the same global shuffle, loads only
+    # its slice of each global batch, and shard_batch assembles the global
+    # arrays (SURVEY §5 "multi-host via jax.distributed + DCN")
+    nproc, rank = jax.process_count(), jax.process_index()
     images_per_batch = (params["batch_size"] // params["sequences_per_image"]
                         or 1) if not params["overfit"] else 5
     images_per_batch = min(images_per_batch, max(1, len(dataset)))
     loader = DataLoader(dataset, images_per_batch, shuffle=True,
                         drop_last=True, num_workers=params["num_workers"],
-                        seed=params["seed"])
+                        seed=params["seed"],
+                        process_index=rank, process_count=nproc)
     num_iter_epoch = max(len(loader), 1)
     print(f"\n{len(dataset)} train data.")
     print(f"\n{num_iter_epoch} iter per epoch.")
@@ -115,8 +120,11 @@ def main(argv=None):
         dtype=common.compute_dtype(params))
     nsp_weight = jnp.asarray([float(params["num_negative_samples"]), 1.0])
 
-    sample_size = 48 if params["overfit"] else params["batch_size"]
-    host_rng = np.random.default_rng(params["seed"])
+    # per-process share of the global sequence batch (flatten subsamples the
+    # local images' sequences down to it; shard_batch concatenates processes)
+    sample_size = (48 if params["overfit"] else params["batch_size"]) // nproc
+    host_rng = np.random.default_rng(
+        params["seed"] if nproc == 1 else (params["seed"], rank))
 
     iter_id = start_iter
     profiler = common.StepProfiler(params["profile_dir"])
@@ -126,8 +134,11 @@ def main(argv=None):
         for batch in loader:
             iter_id += 1
             profiler.step(iter_id)
+            # compact per-image staging indexes process-local arrays; under
+            # multi-process the batch must be fully per-sequence (expanded)
             flat = flatten_for_forward(batch, sample_size=sample_size,
-                                       rng=host_rng, compact_images=True)
+                                       rng=host_rng,
+                                       compact_images=(nproc == 1))
             flat = pmesh.shard_batch(flat, mesh)
             state, metrics = train_step(state, flat, nsp_weight)
 

@@ -22,7 +22,14 @@ import numpy as np
 class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle=False,
                  drop_last=False, num_workers: int = 4, seed: int = 0,
-                 collate_fn: Optional[Callable] = None, prefetch: int = 2):
+                 collate_fn: Optional[Callable] = None, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is GLOBAL. Under multi-process JAX
+        (process_count > 1) every process computes the identical global
+        shuffle from the shared seed, then loads only its slice of each
+        global batch — the per-process rows that
+        jax.make_array_from_process_local_data assembles into the global
+        batch (parallel/mesh.shard_batch)."""
         from unimm_tpu.data.dataset import collate
         self.dataset = dataset
         self.batch_size = batch_size
@@ -33,6 +40,10 @@ class DataLoader:
         self.collate = collate_fn or collate
         self.prefetch = prefetch
         self.epoch = 0
+        assert 0 <= process_index < process_count, (process_index,
+                                                    process_count)
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -54,6 +65,16 @@ class DataLoader:
                    for i in range(0, n, self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.process_count > 1:
+            # per-process shard of each global batch: contiguous slice in
+            # process order (= the rows this process's addressable devices
+            # own under a dp NamedSharding built from jax.devices() order);
+            # trim so every process contributes the same count
+            def shard(b):
+                k = len(b) // self.process_count
+                return b[self.process_index * k:(self.process_index + 1) * k]
+            batches = [shard(b) for b in batches if
+                       len(b) >= self.process_count]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

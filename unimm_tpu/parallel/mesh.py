@@ -109,17 +109,37 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(jax.device_put, params, shardings), shardings
 
 
+def mesh_process_count(mesh: Mesh) -> int:
+    return len({d.process_index for d in mesh.devices.flat})
+
+
 def shard_batch(batch, mesh: Mesh):
     """dp-shard each array's leading axis; arrays whose leading dim does not
     divide the dp axis (e.g. a 100-candidate dense slate on an 8-way mesh)
-    are replicated instead."""
+    are replicated instead.
+
+    Multi-process meshes: each process passes its PROCESS-LOCAL rows (the
+    slice its DataLoader produced, loader.py process sharding) and the global
+    batch is assembled with jax.make_array_from_process_local_data — no
+    host-global arrays exist anywhere, matching how multi-host JAX feeds a
+    dp axis that spans hosts over DCN. Arrays that end up replicated must be
+    identical on every process (true for everything the CLIs build:
+    nsp_weight, dense slates)."""
     s = batch_sharding(mesh)
     r = replicated(mesh)
     dp = mesh.shape[DP]
+    nproc = mesh_process_count(mesh)
 
     def put(v):
         v = np.asarray(v) if not hasattr(v, "shape") else v
-        ok = getattr(v, "ndim", 0) >= 1 and v.shape[0] % dp == 0
-        return jax.device_put(v, s if ok else r)
+        if nproc == 1:
+            ok = getattr(v, "ndim", 0) >= 1 and v.shape[0] % dp == 0
+            return jax.device_put(v, s if ok else r)
+        v = np.asarray(v)
+        gdim = v.shape[0] * nproc if v.ndim >= 1 else 0
+        if v.ndim >= 1 and gdim % dp == 0:
+            return jax.make_array_from_process_local_data(
+                s, v, (gdim,) + v.shape[1:])
+        return jax.make_array_from_process_local_data(r, v, v.shape)
 
     return {k: put(v) for k, v in batch.items()}
