@@ -74,7 +74,18 @@ full = {k: np.asarray(v)
 k = B // nproc
 local = {key: v[rank * k:(rank + 1) * k] for key, v in full.items()}
 batch = pmesh.shard_batch(local, mesh)
-state, metrics = train_step(state, batch, jnp.asarray([1.0, 1.0]))
+nw = jnp.asarray([1.0, 1.0])
+# AOT-compile BEFORE the host barrier: Gloo's first-collective rendezvous has
+# a 30s deadline, and a compile-cache hit on one process but not the other
+# skews arrival past it (observed flake). With both processes compiled and
+# then barrier-synced, the rendezvous is immediate.
+compiled = train_step.lower(state, batch, nw).compile()
+try:
+    from jax._src.distributed import global_state
+    global_state.client.wait_at_barrier("compiled", 300_000)
+except Exception as e:  # barrier API moved: fall back to generous timeout
+    print("barrier unavailable:", e, flush=True)
+state, metrics = compiled(state, batch, nw)
 m = {key: float(v) for key, v in sorted(metrics.items())}
 assert all(np.isfinite(v) for v in m.values()), m
 print("METRICS", rank, m, flush=True)
