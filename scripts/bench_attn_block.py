@@ -1,0 +1,108 @@
+"""A/B the whole BertAttention sub-block: XLA chain vs fused Pallas kernel.
+
+Times LayerNorm(x + Wo·attn(x)) at the flagship eval shape [B=512, L=256,
+HID=768] bf16. Same timing protocol as scripts/bench_attn.py (feedback scan,
+distinct input sets, host-fetch close).
+
+Usage: python scripts/bench_attn_block.py [xla_block fused_block ...]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from unimm_tpu.models import vilbert
+from unimm_tpu.ops import masks
+from unimm_tpu.ops import pallas_attention_v2 as v2
+
+B, H, L, D = 512, 12, 256, 64
+HID = H * D
+ITERS = 20
+DTYPE = jnp.bfloat16
+
+
+def make_inputs(seed):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), DTYPE)
+    mode = jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32)
+    ctx_end = jnp.asarray(rng.integers(60, 200, (B,)), jnp.int32)
+    ans_len = jnp.asarray(rng.integers(2, 9, (B,)), jnp.int32)
+    return x, mode, ctx_end, ans_len
+
+
+def xla_block(p, x, mode, ctx_end, ans_len):
+    bias = masks.text_self_bias(mode, ctx_end, ans_len, L, jnp.float32)
+    return vilbert.self_attention_block(
+        p, x, bias, num_heads=H, attn_drop=0.0, hidden_drop=0.0,
+        train=False, rng=None)
+
+
+def fused_block(p, x, mode, ctx_end, ans_len):
+    desc = jnp.stack([mode, ctx_end, ans_len], axis=-1)
+    return v2.fused_attention_block(x, desc, p, num_heads=H)
+
+
+def xla_ffn(p, x, mode, ctx_end, ans_len):
+    return vilbert.ffn_block(p["inter"], p["out"], x, act="gelu",
+                             hidden_drop=0.0, train=False, rng=None)
+
+
+def fused_ffn(p, x, mode, ctx_end, ans_len):
+    return v2.fused_ffn_block(x, p["inter"], p["out"], act="gelu")
+
+
+VARIANTS = {"xla_block": xla_block, "fused_block": fused_block,
+            "xla_ffn": xla_ffn, "fused_ffn": fused_ffn}
+
+
+def bench(name, fn, p):
+    @jax.jit
+    def run(x, mode, ctx_end, ans_len):
+        def body(carry, _):
+            return fn(p, carry, mode, ctx_end, ans_len).astype(carry.dtype), ()
+        out, _ = jax.lax.scan(body, x, None, length=ITERS)
+        return jnp.sum(out.astype(jnp.float32))
+
+    sets = [make_inputs(s) for s in range(3)]
+    for s in sets:
+        float(np.asarray(run(*s)))
+    times = []
+    for rep in range(6):
+        s = sets[rep % 3]
+        t0 = time.perf_counter()
+        float(np.asarray(run(*s)))
+        times.append((time.perf_counter() - t0) / ITERS)
+    med = sorted(times)[len(times) // 2]
+    print(f"{name:24s} {med*1e3:8.3f} ms/call   "
+          f"({min(times)*1e3:.3f} min, {max(times)*1e3:.3f} max)")
+    return med
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    p = vilbert._init_attention(key, HID, 0.02)
+    p["inter"] = {"dense": vilbert._init_linear(key, HID, 4 * HID, 0.02)}
+    p["out"] = {"dense": vilbert._init_linear(
+        jax.random.fold_in(key, 1), 4 * HID, HID, 0.02),
+        "LayerNorm": vilbert._init_ln(HID)}
+    p = vilbert.cast_floating(p, DTYPE)
+    names = sys.argv[1:] or list(VARIANTS)
+    print(f"backend={jax.devices()[0].platform} shape=[{B},{L},{HID}] "
+          f"iters={ITERS}")
+    for n in names:
+        bench(n, VARIANTS[n], p)
+
+
+if __name__ == "__main__":
+    main()

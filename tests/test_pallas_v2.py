@@ -1,0 +1,151 @@
+"""Parity tests for the v2 whole-sub-block Pallas kernels (interpret mode).
+
+Each kernel must match the XLA path in models/vilbert.py within fp32 rounding
+(same op order, fp32 LN stats) across dis- and gen-mode descriptors, and the
+model-level "pallas_block" attention_impl must agree with "xla" end to end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unimm_tpu.config import VilbertConfig
+from unimm_tpu.models import unimm, vilbert
+from unimm_tpu.ops import masks
+from unimm_tpu.ops import pallas_attention_v2 as v2
+
+import dataclasses
+
+TINY = VilbertConfig(
+    vocab_size=100, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64, max_position_embeddings=64,
+    v_feature_size=16, v_target_size=11, v_hidden_size=24,
+    v_num_hidden_layers=2, v_num_attention_heads=2, v_intermediate_size=48,
+    bi_hidden_size=16, bi_num_attention_heads=2,
+    v_biattention_id=(1,), t_biattention_id=(1,),
+    max_seq_len=32, max_regions=5,
+)
+
+
+def _tiny_batch(rng, cfg, B=4, train=False):
+    L, R = cfg.max_seq_len, cfg.max_regions
+    batch = {
+        "tokens": jnp.asarray(
+            rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32)),
+        "segments": jnp.asarray(rng.integers(0, 2, (B, L)).astype(np.int32)),
+        "mode": jnp.asarray(rng.integers(0, 2, (B,)).astype(np.int32)),
+        "ctx_end": jnp.asarray(
+            rng.integers(8, 20, (B,)).astype(np.int32)),
+        "ans_len": jnp.asarray(rng.integers(2, 5, (B,)).astype(np.int32)),
+        "image_feat": jnp.asarray(
+            rng.normal(size=(B, R, cfg.v_feature_size)).astype(np.float32)),
+        "image_loc": jnp.asarray(
+            rng.normal(size=(B, R, 5)).astype(np.float32)),
+        "image_mask": jnp.asarray(np.ones((B, R), np.int32)),
+    }
+    labels = np.full((B, L), -1, np.int32)
+    labels[:, 21:26] = rng.integers(0, cfg.vocab_size, (B, 5))
+    batch["mlm_labels"] = jnp.asarray(labels)
+    if train:
+        batch["lm_weight"] = jnp.asarray(
+            (labels != -1).astype(np.float32))
+        batch["next_sentence_label"] = jnp.asarray(
+            rng.integers(0, 2, (B,)).astype(np.int32))
+        batch["image_target"] = jnp.asarray(
+            rng.random((B, R, cfg.v_target_size)).astype(np.float32))
+        batch["image_label"] = jnp.asarray(
+            rng.integers(-1, 2, (B, R)).astype(np.int32))
+    return batch
+
+
+def _desc(rng, B, L):
+    mode = rng.integers(0, 2, (B,)).astype(np.int32)
+    ctx = rng.integers(max(4, L // 8), L - 20, (B,)).astype(np.int32)
+    ans = rng.integers(2, 9, (B,)).astype(np.int32)
+    return mode, ctx, ans
+
+
+def test_fused_attention_block_matches_xla():
+    B, H, L, D = 6, 4, 64, 32
+    HID = H * D
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+    mode, ctx, ans = _desc(rng, B, L)
+    p = vilbert._init_attention(jax.random.PRNGKey(0), HID, 0.02)
+    bias = masks.text_self_bias(jnp.asarray(mode), jnp.asarray(ctx),
+                                jnp.asarray(ans), L, jnp.float32)
+    ref = vilbert.self_attention_block(
+        p, x, bias, num_heads=H, attn_drop=0.0, hidden_drop=0.0,
+        train=False, rng=None)
+    desc = jnp.asarray(np.stack([mode, ctx, ans], axis=-1))
+    out = v2.fused_attention_block(x, desc, p, num_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("act", ["gelu", "relu", "swish"])
+def test_fused_ffn_block_matches_xla(act):
+    B, L, HID = 4, 32, 128
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    p_inter = {"dense": vilbert._init_linear(key, HID, 4 * HID, 0.02)}
+    p_out = {"dense": vilbert._init_linear(
+        jax.random.fold_in(key, 1), 4 * HID, HID, 0.02),
+        "LayerNorm": vilbert._init_ln(HID)}
+    ref = vilbert.ffn_block(p_inter, p_out, x, act=act, hidden_drop=0.0,
+                            train=False, rng=None)
+    out = v2.fused_ffn_block(x, p_inter, p_out, act=act, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+def test_attention_v2_matches_v1_semantics():
+    B, H, L, D = 8, 2, 32, 32
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    mode, ctx, ans = _desc(rng, B, L)
+    desc = jnp.asarray(np.stack([mode, ctx, ans], axis=-1))
+    bias = masks.text_self_bias(jnp.asarray(mode), jnp.asarray(ctx),
+                                jnp.asarray(ans), L, jnp.float32)
+    import math
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(D) + bias
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+    out = v2.attention_v2(q, k, v, desc, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_model_level_pallas_block_matches_xla():
+    cfg_x = TINY
+    cfg_p = dataclasses.replace(TINY, attention_impl="pallas_block")
+    params = vilbert.init_params(jax.random.PRNGKey(3), cfg_x)
+    batch = _tiny_batch(np.random.default_rng(7), cfg_x, B=4)
+    out_x = unimm.forward_eval(params, cfg_x, batch, dtype=jnp.float32)
+    out_p = unimm.forward_eval(params, cfg_p, batch, dtype=jnp.float32)
+    for k in out_x:
+        np.testing.assert_allclose(np.asarray(out_p[k]), np.asarray(out_x[k]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_block_training_falls_back_and_differentiates():
+    # under train=True the block kernels must not be used (no VJP); the
+    # fallback chain still produces finite grads
+    cfg = dataclasses.replace(TINY, attention_impl="pallas_block",
+                              attention_probs_dropout_prob=0.1)
+    params = vilbert.init_params(jax.random.PRNGKey(4), cfg)
+    batch = _tiny_batch(np.random.default_rng(8), cfg, B=2, train=True)
+
+    def loss_fn(p):
+        losses = unimm.forward_train(p, cfg, batch,
+                                     rng=jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+        return losses["lm"] + losses["img"] + losses["nsp"]
+
+    g = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)

@@ -106,10 +106,11 @@ def read_command_line(argv=None) -> dict:
                              '(the reference has no profiling at all, '
                              'SURVEY §5)')
     parser.add_argument('-attention_impl', default='xla',
-                        choices=['xla', 'pallas'],
-                        help='text self-attention backend: XLA bias path or '
-                             'the Pallas kernel with in-kernel mask '
-                             'generation')
+                        choices=['xla', 'pallas', 'pallas_block'],
+                        help='text self-attention backend: XLA bias path, '
+                             'the per-head Pallas kernel with in-kernel mask '
+                             'generation, or the whole-sub-block Pallas '
+                             'kernels (eval paths)')
 
     parsed = vars(parser.parse_args(args=argv))
     if parsed['save_name']:

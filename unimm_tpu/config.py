@@ -55,7 +55,13 @@ class VilbertConfig:
     # --- TPU-native additions ----------------------------------------------
     max_seq_len: int = 256          # dialog sequence length (options.py:62)
     max_regions: int = 37           # region count incl. global <IMG> row
-    # attention implementation: "xla" (fused by XLA) or "pallas" (custom kernel)
+    # text-stream attention implementation:
+    #   "xla"          — bias-based path fused by XLA
+    #   "pallas"       — per-head fused kernel with in-kernel mask generation
+    #                    (custom VJP; usable in training when dropout == 0)
+    #   "pallas_block" — whole-sub-block kernels (QKV proj + attention +
+    #                    out proj + residual + LN, and the fused FFN); eval
+    #                    only — grad paths fall back to "pallas"/"xla"
     attention_impl: str = "xla"
     # rematerialise encoder layers in the backward pass (jax.checkpoint):
     # trades ~30% recompute for O(layers) less activation memory, enabling

@@ -74,23 +74,38 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
     """
     batch = expand_images(batch)
     Lmax = batch["tokens"].shape[-1]
-    # Pallas fused attention regenerates the text mask in-kernel, so the
-    # [B, L, L] bias is never materialised on that path. Attention-prob
+    # Pallas text-stream kernels regenerate the text mask in-kernel, so the
+    # [B, L, L] bias is never materialised on those paths. Attention-prob
     # dropout only exists on the XLA path, so training with dropout falls
-    # back to it.
-    use_pallas = (cfg.attention_impl == "pallas"
-                  and not (train and cfg.attention_probs_dropout_prob > 0)
-                  and not cfg.in_batch_pairs and not cfg.fast_mode)
-    text_fused_attn = None
+    # back to it; "pallas_block" (whole-sub-block kernels, no VJP) is
+    # eval-only and falls back to the v1 per-head kernel under grad.
+    impl = cfg.attention_impl
+    eligible = (not (train and cfg.attention_probs_dropout_prob > 0)
+                and not cfg.in_batch_pairs and not cfg.fast_mode)
+    use_block = impl == "pallas_block" and eligible and not train
+    use_pallas = (impl == "pallas" or (impl == "pallas_block" and train)) \
+        and eligible
+    text_fused_attn = text_fused_block = text_fused_ffn = None
     t_bias = None
-    if use_pallas:
-        from unimm_tpu.ops import pallas_attention as pattn
-
+    if use_block or use_pallas:
         desc = jnp.stack(
             [jnp.asarray(batch["mode"], jnp.int32),
              jnp.asarray(batch["ctx_end"], jnp.int32),
              jnp.asarray(batch["ans_len"], jnp.int32)], axis=-1)
         interpret = jax.default_backend() == "cpu"
+    if use_block:
+        from unimm_tpu.ops import pallas_attention_v2 as pattn2
+
+        def text_fused_block(p_attn, x):
+            return pattn2.fused_attention_block(
+                x, desc, p_attn, num_heads=cfg.num_attention_heads,
+                interpret=interpret)
+
+        def text_fused_ffn(p_inter, p_out, x):
+            return pattn2.fused_ffn_block(
+                x, p_inter, p_out, act=cfg.hidden_act, interpret=interpret)
+    elif use_pallas:
+        from unimm_tpu.ops import pallas_attention as pattn
 
         def text_fused_attn(q, k, v):
             return pattn.fused_text_attention(q, k, v, desc, interpret)
@@ -110,7 +125,8 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
         position_ids=pos, text_bias=t_bias,
         image_feat=batch["image_feat"], image_loc=batch["image_loc"],
         image_bias=v_bias, co_bias=co_bias, train=train, rng=rng, dtype=dtype,
-        text_fused_attn=text_fused_attn)
+        text_fused_attn=text_fused_attn, text_fused_block=text_fused_block,
+        text_fused_ffn=text_fused_ffn)
 
 
 def forward_train(params, cfg: VilbertConfig, batch, *, rng,

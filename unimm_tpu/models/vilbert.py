@@ -125,11 +125,16 @@ def attention_core(q, k, v, bias, *, drop_rate, train, rng):
 # ---------------------------------------------------------------------------
 
 def self_attention_block(p: Params, x, bias, *, num_heads, attn_drop, hidden_drop,
-                         train, rng, fused_attn=None):
+                         train, rng, fused_attn=None, fused_block=None):
     """BertAttention: self-attention + output projection/LN residual.
 
     ``fused_attn`` (q, k, v) -> ctx replaces the bias-based XLA attention with
-    the Pallas kernel that regenerates the mask in-kernel."""
+    the Pallas kernel that regenerates the mask in-kernel. ``fused_block``
+    (p, x) -> out replaces the ENTIRE block (projections, attention, output
+    dense, residual+LN) with the one-pass Pallas kernel
+    (ops/pallas_attention_v2.fused_attention_block)."""
+    if fused_block is not None:
+        return fused_block(p, x)
     ps = p["self"]
     q = _split_heads(linear(ps["query"], x), num_heads)
     k = _split_heads(linear(ps["key"], x), num_heads)
@@ -144,25 +149,31 @@ def self_attention_block(p: Params, x, bias, *, num_heads, attn_drop, hidden_dro
     return layer_norm(po["LayerNorm"], h + x)
 
 
-def ffn_block(p_inter: Params, p_out: Params, x, *, act, hidden_drop, train, rng):
-    """BertIntermediate + BertOutput."""
+def ffn_block(p_inter: Params, p_out: Params, x, *, act, hidden_drop, train, rng,
+              fused_ffn=None):
+    """BertIntermediate + BertOutput. ``fused_ffn`` (p_inter, p_out, x) -> out
+    replaces the chain with the one-pass Pallas kernel."""
+    if fused_ffn is not None:
+        return fused_ffn(p_inter, p_out, x)
     h = ACT[act](linear(p_inter["dense"], x))
     h = dropout(linear(p_out["dense"], h), hidden_drop, train, rng)
     return layer_norm(p_out["LayerNorm"], h + x)
 
 
 def encoder_layer(p: Params, x, bias, *, num_heads, act, attn_drop, hidden_drop,
-                  train, rng, fused_attn=None):
+                  train, rng, fused_attn=None, fused_block=None, fused_ffn=None):
     """BertLayer / BertImageLayer (vilbert_dialog.py:472-483, :601-612)."""
     attn_out = self_attention_block(
         p["attention"], x, bias, num_heads=num_heads, attn_drop=attn_drop,
-        hidden_drop=hidden_drop, train=train, rng=rng, fused_attn=fused_attn)
+        hidden_drop=hidden_drop, train=train, rng=rng, fused_attn=fused_attn,
+        fused_block=fused_block)
     return ffn_block(p["intermediate"], p["output"], attn_out, act=act,
-                     hidden_drop=hidden_drop, train=train, rng=rng)
+                     hidden_drop=hidden_drop, train=train, rng=rng,
+                     fused_ffn=fused_ffn)
 
 
 def connection_layer(p: Params, cfg: VilbertConfig, v_x, v_bias, t_x, co_bias, *,
-                     train, rng):
+                     train, rng, fused_t_ffn=None):
     """BertConnectionLayer (vilbert_dialog.py:757-783): co-attention + FFNs.
 
     Replicates BertBiAttention masking exactly (vilbert_dialog.py:655-709):
@@ -206,7 +217,8 @@ def connection_layer(p: Params, cfg: VilbertConfig, v_x, v_bias, t_x, co_bias, *
                       hidden_drop=cfg.v_hidden_dropout_prob, train=train, rng=rng)
     t_out = ffn_block(p["t_intermediate"], p["t_output"], t_out,
                       act=cfg.hidden_act,
-                      hidden_drop=cfg.hidden_dropout_prob, train=train, rng=rng)
+                      hidden_drop=cfg.hidden_dropout_prob, train=train, rng=rng,
+                      fused_ffn=fused_t_ffn)
     return v_out, t_out
 
 
@@ -246,7 +258,8 @@ def image_embeddings(p: Params, cfg: VilbertConfig, features, locations, *,
 # ---------------------------------------------------------------------------
 
 def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
-            train, rng, text_fused_attn=None):
+            train, rng, text_fused_attn=None, text_fused_block=None,
+            text_fused_ffn=None):
     """BertEncoder interleave (vilbert_dialog.py:817-937).
 
     Supports the reference's optional modes:
@@ -269,7 +282,8 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             lp, x, t_bias, num_heads=cfg.num_attention_heads,
             act=cfg.hidden_act, attn_drop=cfg.attention_probs_dropout_prob,
             hidden_drop=cfg.hidden_dropout_prob, train=train, rng=_Rng(key),
-            fused_attn=text_fused_attn)
+            fused_attn=text_fused_attn, fused_block=text_fused_block,
+            fused_ffn=text_fused_ffn)
 
     def v_fn(lp, x, key):
         return encoder_layer(
@@ -280,7 +294,8 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
 
     def c_fn(cp, vx, tx, key):
         return connection_layer(cp, cfg, vx, v_bias, tx, co_bias,
-                                train=train, rng=_Rng(key))
+                                train=train, rng=_Rng(key),
+                                fused_t_ffn=text_fused_ffn)
 
     if cfg.remat:
         t_fn = jax.checkpoint(t_fn)
@@ -336,7 +351,8 @@ def pooler(p: Params, x):
 def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                position_ids, text_bias, image_feat, image_loc, image_bias,
                co_bias, train=False, rng=None, dtype=jnp.float32,
-               text_fused_attn=None):
+               text_fused_attn=None, text_fused_block=None,
+               text_fused_ffn=None):
     """BertModel.forward (vilbert_dialog.py:1359-1472) with biases precomputed.
 
     Returns (sequence_t, sequence_v, pooled_t, pooled_v).
@@ -350,7 +366,9 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                            train=train, rng=r, dtype=dtype)
     t_seq, v_seq = encoder(p["encoder"], cfg, t_x, v_x, text_bias, image_bias,
                            co_bias, train=train, rng=r,
-                           text_fused_attn=text_fused_attn)
+                           text_fused_attn=text_fused_attn,
+                           text_fused_block=text_fused_block,
+                           text_fused_ffn=text_fused_ffn)
     return t_seq, v_seq, pooler(p["t_pooler"], t_seq), pooler(p["v_pooler"], v_seq)
 
 
