@@ -23,13 +23,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def run(impl, chunk=500):
+def run(spec, chunk=500):
+    impl, _, opt = spec.partition(":")
     from unimm_tpu.config import VilbertConfig
     from unimm_tpu.data.dataset import flatten_for_forward
     from unimm_tpu.eval.evaluator import RankingEvaluator
     from unimm_tpu.models import vilbert
 
-    cfg = dataclasses.replace(VilbertConfig(), attention_impl=impl)
+    cfg = dataclasses.replace(VilbertConfig(), attention_impl=impl,
+                              fused_ffn=opt != "noffn")
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
@@ -64,7 +66,7 @@ def run(impl, chunk=500):
         dt = time.perf_counter() - t0
         repeats.append(B * R * O * iters / dt)
     med = sorted(repeats)[len(repeats) // 2]
-    print(f"{impl:14s} {med/1000.0:7.4f} dialogs/s/chip  "
+    print(f"{spec:20s} {med/1000.0:7.4f} dialogs/s/chip  "
           f"({med:.1f} seq/s; runs {[round(r,1) for r in repeats]})")
 
 

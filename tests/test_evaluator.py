@@ -92,3 +92,39 @@ def test_sharded_eval_on_mesh(setup):
     out_s = ev_s.score_flat(params, flat)
     for k in out_m:
         np.testing.assert_allclose(out_m[k], out_s[k], rtol=1e-5, atol=1e-6)
+
+
+def test_label_bucket_selection(setup):
+    params, batch = setup
+    ev = evaluator.RankingEvaluator(TINY, chunk_size=8, need_nsp=False)
+    flat = flatten_for_forward(batch, train=False, compact_images=True)
+    # the fixture writes 4 labels per sequence -> smallest bucket (8)
+    assert ev._label_bucket(flat) == 8
+    many = dict(flat)
+    labels = np.array(flat["mlm_labels"], copy=True)
+    labels[0, 1:20] = 5
+    many["mlm_labels"] = labels
+    assert ev._label_bucket(many) == 32
+    none = dict(flat)
+    none["mlm_labels"] = np.full_like(labels, -1)
+    assert ev._label_bucket(none) == 8
+
+
+def test_label_budget_invariance(setup):
+    """Scores must not depend on the label-position budget as long as it
+    covers every real label (the evaluator picks the bucket dynamically)."""
+    from unimm_tpu.models import unimm
+
+    params, batch = setup
+    flat = flatten_for_forward(batch, train=False, compact_images=False)
+    fb = {k: jnp.asarray(v) for k, v in flat.items()}
+    lo = unimm.forward_eval(params, TINY, fb, dtype=jnp.float32,
+                            need_nsp=False, max_label_positions=8)
+    hi = unimm.forward_eval(params, TINY, fb, dtype=jnp.float32,
+                            need_nsp=False, max_label_positions=128)
+    np.testing.assert_allclose(np.asarray(lo["lm_nll_sum"]),
+                               np.asarray(hi["lm_nll_sum"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lo["lm_nll_mean"]),
+                               np.asarray(hi["lm_nll_mean"]),
+                               rtol=1e-5, atol=1e-5)

@@ -105,7 +105,7 @@ def read_command_line(argv=None) -> dict:
                         help='write a jax.profiler trace of steps 10-14 here '
                              '(the reference has no profiling at all, '
                              'SURVEY §5)')
-    parser.add_argument('-attention_impl', default='xla',
+    parser.add_argument('-attention_impl', default='pallas_block',
                         choices=['xla', 'pallas', 'pallas_block'],
                         help='text self-attention backend: XLA bias path, '
                              'the per-head Pallas kernel with in-kernel mask '

@@ -63,6 +63,10 @@ class VilbertConfig:
     #                    out proj + residual + LN, and the fused FFN); eval
     #                    only — grad paths fall back to "pallas"/"xla"
     attention_impl: str = "xla"
+    # under "pallas_block": also route text-stream FFNs (incl. the co-attn
+    # layers' t-FFNs) through the fused FFN kernel. Ties XLA in isolation
+    # but measured on the end-to-end evaluator (scripts/bench_e2e_ab.py)
+    fused_ffn: bool = True
     # rematerialise encoder layers in the backward pass (jax.checkpoint):
     # trades ~30% recompute for O(layers) less activation memory, enabling
     # the paper's 240-sequence training batch on a single 16GB chip

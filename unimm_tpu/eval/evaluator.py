@@ -56,9 +56,10 @@ class RankingEvaluator:
             self._chunk_sharding = pmesh.batch_sharding(mesh)
             self._repl = pmesh.replicated(mesh)
 
-        def fwd(params, batch):
+        def fwd(params, batch, pmax):
             out = unimm.forward_eval(params, cfg, batch, dtype=dtype,
-                                     need_lm=need_lm, need_nsp=need_nsp)
+                                     need_lm=need_lm, need_nsp=need_nsp,
+                                     max_label_positions=pmax)
             res = {}
             if need_nsp:
                 # P(next) = softmax(logits)[:, 0]  (train.py:261-263)
@@ -69,7 +70,24 @@ class RankingEvaluator:
                 res["ll_mean"] = -out["lm_nll_mean"]
             return res
 
-        self._fwd = jax.jit(fwd)
+        self._fwd = jax.jit(fwd, static_argnames="pmax")
+        self._need_lm = need_lm
+
+    def _label_bucket(self, flat) -> int:
+        """Smallest power-of-two label budget covering this batch.
+
+        The MLM-head cost is linear in the budget and real answers carry ~8
+        label tokens, so scoring at the 128 worst-case budget wastes ~16x the
+        head FLOPs. Buckets (vs exact counts) keep the number of compiled
+        executables bounded at 5."""
+        if not self._need_lm:
+            return unimm.MAX_LABEL_POSITIONS
+        counts = (np.asarray(flat["mlm_labels"]) != -1).sum(axis=-1)
+        need = int(counts.max(initial=1))
+        p = 8
+        while p < need:
+            p *= 2
+        return min(p, unimm.MAX_LABEL_POSITIONS)
 
     def score_flat(self, params, flat: Dict[str, np.ndarray]) -> dict:
         """Score a flat [N, ...] batch in fixed-size padded chunks.
@@ -79,6 +97,7 @@ class RankingEvaluator:
         chunk."""
         N = flat["tokens"].shape[0]
         compact = "img_index" in flat
+        pmax = self._label_bucket(flat)
 
         def put_img(v):
             return (jax.device_put(v, self._repl)
@@ -104,7 +123,7 @@ class RankingEvaluator:
             chunk.update(imgs)
             # keep results on device; fetch after the loop so successive
             # chunk dispatches overlap with compute
-            outs.append((e - s, self._fwd(params, chunk)))
+            outs.append((e - s, self._fwd(params, chunk, pmax)))
         fetched = [{k: np.asarray(v)[:n] for k, v in res.items()}
                    for n, res in outs]
         return {k: np.concatenate([o[k] for o in fetched])

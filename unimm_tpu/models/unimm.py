@@ -101,9 +101,11 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
                 x, desc, p_attn, num_heads=cfg.num_attention_heads,
                 interpret=interpret)
 
-        def text_fused_ffn(p_inter, p_out, x):
-            return pattn2.fused_ffn_block(
-                x, p_inter, p_out, act=cfg.hidden_act, interpret=interpret)
+        if cfg.fused_ffn:
+            def text_fused_ffn(p_inter, p_out, x):
+                return pattn2.fused_ffn_block(
+                    x, p_inter, p_out, act=cfg.hidden_act,
+                    interpret=interpret)
     elif use_pallas:
         from unimm_tpu.ops import pallas_attention as pattn
 
@@ -200,13 +202,20 @@ def label_positions(mlm_labels, max_positions: int = MAX_LABEL_POSITIONS):
 
 
 def forward_eval(params, cfg: VilbertConfig, batch, *, dtype=jnp.bfloat16,
-                 need_lm=True, need_nsp=True):
+                 need_lm=True, need_nsp=True,
+                 max_label_positions: int = MAX_LABEL_POSITIONS):
     """Eval scoring pass (val_lm.py:121-143 / train.py:258-263 semantics).
 
     Returns dict with:
       nsp_logits [B, 2]
       lm_nll_sum [B]   — answer NLL summed over label tokens (seq-level LL = -sum)
       lm_nll_mean [B]  — token-averaged NLL (val_avg_lm.py:135)
+
+    ``max_label_positions``: static per-sequence label budget P. The MLM head
+    cost is linear in P (the tied-decoder online softmax over the 30K vocab
+    dominates), so callers that know the batch's true maximum label count
+    (the evaluator does — labels are host-built) should pass the smallest
+    covering bucket; 128 covers every representable generative answer.
     """
     t_seq, v_seq, pooled_t, pooled_v = encode(
         params, cfg, batch, train=False, rng=None, dtype=dtype)
@@ -217,7 +226,7 @@ def forward_eval(params, cfg: VilbertConfig, batch, *, dtype=jnp.bfloat16,
         out["nsp_logits"] = vilbert.linear(
             params["cls"]["bi_seq_relationship"], pooled).astype(jnp.float32)
     if need_lm:
-        pos, labs = label_positions(batch["mlm_labels"])
+        pos, labs = label_positions(batch["mlm_labels"], max_label_positions)
         hidden = vilbert.mlm_head_at_positions(params, cfg, t_seq, pos)
         decoder = params["bert"]["embeddings"]["word_embeddings"].astype(dtype)
         bias = params["cls"]["predictions"]["bias"].astype(jnp.float32)
