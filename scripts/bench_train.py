@@ -1,0 +1,102 @@
+"""Training-step benchmark + attribution on the real TPU.
+
+Measures the full jitted train step (fwd+bwd+optimizer, remat, gathered MLM)
+at the paper's 240-sequence batch, and ablations that attribute the cost:
+dropout off (RNG share), xla vs pallas attention path.
+
+Usage: python scripts/bench_train.py [variant ...]
+Variants: base nodrop pallas_nodrop
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from unimm_tpu.config import VilbertConfig
+from unimm_tpu.models import vilbert
+from unimm_tpu.train import optim, step as tstep
+
+B = 240
+
+
+def make_batch(seed, cfg):
+    rng = np.random.default_rng(seed)
+    L, R = cfg.max_seq_len, cfg.max_regions
+    labels = np.full((B, L), -1, np.int32)
+    n_lab = rng.integers(10, 40, B)
+    for i in range(B):
+        pos = rng.permutation(L - 2)[: n_lab[i]] + 1
+        labels[i, pos] = rng.integers(0, cfg.vocab_size, n_lab[i])
+    w = np.zeros((B, L), np.float32)
+    w[labels != -1] = 1.0
+    w[: B // 4][labels[: B // 4] != -1] = -1.0   # UL portion
+    return {k: jnp.asarray(v) for k, v in {
+        "tokens": rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32),
+        "segments": rng.integers(0, 2, (B, L)).astype(np.int32),
+        "mode": rng.integers(0, 2, B).astype(np.int32),
+        "ctx_end": rng.integers(60, 200, B).astype(np.int32),
+        "ans_len": rng.integers(2, 9, B).astype(np.int32),
+        "mlm_labels": labels, "lm_weight": w,
+        "next_sentence_label": rng.integers(0, 2, B).astype(np.int32),
+        "image_feat": rng.normal(size=(B, R, 2048)).astype(np.float32),
+        "image_loc": rng.normal(size=(B, R, 5)).astype(np.float32),
+        "image_mask": np.ones((B, R), np.int32),
+        "image_target": rng.dirichlet(np.ones(cfg.v_target_size),
+                                      (B, R)).astype(np.float32),
+        "image_label": rng.choice([-1, 0, 1], (B, R)).astype(np.int32),
+    }.items()}
+
+
+def variant_cfg(name):
+    cfg = dataclasses.replace(VilbertConfig(), remat=True)
+    if name == "nodrop":
+        cfg = dataclasses.replace(
+            cfg, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0)
+    elif name == "pallas_nodrop":
+        cfg = dataclasses.replace(
+            cfg, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0,
+            attention_impl="pallas")
+    return cfg
+
+
+def bench(name):
+    cfg = variant_cfg(name)
+    params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    ocfg = optim.OptimConfig(batch_multiply=1, warmup_steps=10, t_total=1000)
+    tx = optim.make_optimizer(params, ocfg)
+    state = tstep.init_state(params, tx, seed=0)
+    train_step = tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16)
+    nsp_weight = jnp.asarray([1.0, 1.0])
+    batches = [make_batch(s, cfg) for s in range(3)]
+    for b in batches:  # compile + warm
+        state, m = train_step(state, b, nsp_weight)
+    float(np.asarray(m["loss"]))
+    times = []
+    for rep in range(6):
+        b = batches[rep % 3]
+        t0 = time.perf_counter()
+        state, m = train_step(state, b, nsp_weight)
+        float(np.asarray(m["loss"]))   # host fetch closes the timing
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(f"{name:16s} {med*1e3:8.1f} ms/step  ({B/med:.1f} seq/s)  "
+          f"min {min(times)*1e3:.1f} max {max(times)*1e3:.1f}")
+
+
+if __name__ == "__main__":
+    for n in (sys.argv[1:] or ["base", "nodrop"]):
+        bench(n)
