@@ -62,8 +62,18 @@ def fused_ffn(p, x, mode, ctx_end, ans_len):
     return v2.fused_ffn_block(x, p["inter"], p["out"], act="gelu")
 
 
+def fused_block_bb2(p, x, mode, ctx_end, ans_len):
+    desc = jnp.stack([mode, ctx_end, ans_len], axis=-1)
+    return v2.fused_attention_block(x, desc, p, num_heads=H, block_b=2)
+
+
+def fused_ffn_bb2(p, x, mode, ctx_end, ans_len):
+    return v2.fused_ffn_block(x, p["inter"], p["out"], act="gelu", block_b=2)
+
+
 VARIANTS = {"xla_block": xla_block, "fused_block": fused_block,
-            "xla_ffn": xla_ffn, "fused_ffn": fused_ffn}
+            "xla_ffn": xla_ffn, "fused_ffn": fused_ffn,
+            "fused_block_bb2": fused_block_bb2, "fused_ffn_bb2": fused_ffn_bb2}
 
 
 def bench(name, fn, p):

@@ -149,3 +149,29 @@ def test_pallas_block_training_falls_back_and_differentiates():
     g = jax.grad(loss_fn)(params)
     flat = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
+
+
+def test_pallas_block_under_sharded_evaluator():
+    """pallas_block must compose with the dp-sharded mesh evaluator (the CLI
+    default is pallas_block; -n_gpus > 1 eval goes through this path)."""
+    from tests.test_evaluator import make_val_batch
+    from unimm_tpu.data.dataset import flatten_for_forward
+    from unimm_tpu.eval.evaluator import RankingEvaluator
+    from unimm_tpu.parallel import mesh as pmesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    mesh = pmesh.make_mesh(4, mp=1)
+    cfg = dataclasses.replace(TINY, attention_impl="pallas_block")
+    params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    params, _ = pmesh.shard_params(params, mesh)
+    batch = make_val_batch(np.random.default_rng(0), TINY)
+    flat = flatten_for_forward(batch, train=False, compact_images=True)
+    out = RankingEvaluator(cfg, chunk_size=8, need_nsp=False,
+                           mesh=mesh).score_flat(params, flat)
+    params_x, _ = pmesh.shard_params(
+        vilbert.init_params(jax.random.PRNGKey(0), TINY), mesh)
+    out_x = RankingEvaluator(TINY, chunk_size=8, need_nsp=False,
+                             mesh=mesh).score_flat(params_x, flat)
+    np.testing.assert_allclose(out["ll_sum"], out_x["ll_sum"],
+                               rtol=2e-2, atol=2e-2)

@@ -84,52 +84,54 @@ def attention_v2(q, k, v, desc, *, block_b=4, interpret=False):
 
 def _block_kernel(desc_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                   wv_ref, bv_ref, wo_ref, bo_ref, g_ref, beta_ref, o_ref,
-                  *, H, D, scale, eps):
-    b = pl.program_id(0)
+                  *, H, D, scale, eps, BB):
+    b0 = pl.program_id(0) * BB
     L = x_ref.shape[-2]
-    x = x_ref[0]                                           # [L, HD] bf16
-    dt = x.dtype
+    for i in range(BB):
+        x = x_ref[i]                                       # [L, HD] bf16
+        dt = x.dtype
 
-    def proj(w_ref, b_ref):
-        y = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return (y + b_ref[:].astype(jnp.float32)).astype(dt)
+        def proj(w_ref, b_ref, x=x, dt=dt):
+            y = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return (y + b_ref[:].astype(jnp.float32)).astype(dt)
 
-    q = proj(wq_ref, bq_ref)
-    k = proj(wk_ref, bk_ref)
-    v = proj(wv_ref, bv_ref)
-    q = (q.astype(jnp.float32) * scale).astype(dt)
+        q = proj(wq_ref, bq_ref)
+        k = proj(wk_ref, bk_ref)
+        v = proj(wv_ref, bv_ref)
+        q = (q.astype(jnp.float32) * scale).astype(dt)
 
-    bias = _mask_bias(desc_ref[b, 0], desc_ref[b, 1], desc_ref[b, 2], L)
+        bias = _mask_bias(desc_ref[b0 + i, 0], desc_ref[b0 + i, 1],
+                          desc_ref[b0 + i, 2], L)
 
-    ctx = []
-    for h in range(H):
-        qh = jax.lax.slice(q, (0, h * D), (L, (h + 1) * D))
-        kh = jax.lax.slice(k, (0, h * D), (L, (h + 1) * D))
-        vh = jax.lax.slice(v, (0, h * D), (L, (h + 1) * D))
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s + bias, axis=-1)
-        ctx.append(jax.lax.dot_general(
-            p.astype(dt), vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dt))
-    ctx = jnp.concatenate(ctx, axis=-1)                    # [L, H*D]
+        ctx = []
+        for h in range(H):
+            qh = jax.lax.slice(q, (0, h * D), (L, (h + 1) * D))
+            kh = jax.lax.slice(k, (0, h * D), (L, (h + 1) * D))
+            vh = jax.lax.slice(v, (0, h * D), (L, (h + 1) * D))
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s + bias, axis=-1)
+            ctx.append(jax.lax.dot_general(
+                p.astype(dt), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt))
+        ctx = jnp.concatenate(ctx, axis=-1)                # [L, H*D]
 
-    out = jax.lax.dot_general(ctx, wo_ref[:], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    out = out + bo_ref[:].astype(jnp.float32)
+        out = jax.lax.dot_general(ctx, wo_ref[:], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out = out + bo_ref[:].astype(jnp.float32)
 
-    # residual + LayerNorm, fp32 stats (models/vilbert.py:layer_norm parity)
-    h32 = out + x.astype(jnp.float32)
-    mean = jnp.mean(h32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
-    y = (h32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
-    o_ref[0] = y.astype(o_ref.dtype)
+        # residual + LayerNorm, fp32 stats (models/vilbert.py:layer_norm)
+        h32 = out + x.astype(jnp.float32)
+        mean = jnp.mean(h32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+        y = (h32 - mean) * jax.lax.rsqrt(var + eps)
+        y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+        o_ref[i] = y.astype(o_ref.dtype)
 
 
 def fused_attention_block(x, desc, p_attn, *, num_heads, eps=1e-12,
-                          interpret=False):
+                          block_b=1, interpret=False):
     """One-kernel BertAttention: returns LayerNorm(x + Wo·attn(x)).
 
     Args:
@@ -137,19 +139,25 @@ def fused_attention_block(x, desc, p_attn, *, num_heads, eps=1e-12,
       desc: [B, 3] int32 (mode, ctx_end, ans_len).
       p_attn: the ``attention`` param subtree ({self: {query,key,value},
         output: {dense, LayerNorm}}), already cast to the compute dtype.
+      block_b: sequences per grid step — >1 gives Mosaic independent
+        MXU/VPU chains to overlap (softmax of one sequence against the
+        matmuls of the next).
     """
     B, L, HID = x.shape
     D = HID // num_heads
+    while B % block_b:
+        block_b -= 1
     ps, po = p_attn["self"], p_attn["output"]
     w = pl.BlockSpec(memory_space=pltpu.VMEM)   # whole (weight) array, resident
-    xspec = pl.BlockSpec((1, L, HID), lambda b, d: (b, 0, 0),
+    xspec = pl.BlockSpec((block_b, L, HID), lambda b, d: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(B,),
+        num_scalar_prefetch=1, grid=(B // block_b,),
         in_specs=[xspec, w, w, w, w, w, w, w, w, w, w],
         out_specs=xspec)
     kernel = functools.partial(
-        _block_kernel, H=num_heads, D=D, scale=1.0 / math.sqrt(D), eps=eps)
+        _block_kernel, H=num_heads, D=D, scale=1.0 / math.sqrt(D), eps=eps,
+        BB=block_b)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -167,33 +175,35 @@ def fused_attention_block(x, desc, p_attn, *, num_heads, eps=1e-12,
 # ---------------------------------------------------------------------------
 
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, beta_ref,
-                o_ref, *, act, eps):
-    x = x_ref[0]                                           # [L, HID]
-    dt = x.dtype
-    h = jax.lax.dot_general(x, w1_ref[:], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = (h + b1_ref[:].astype(jnp.float32)).astype(dt)
-    # parity with models/vilbert.py: gelu evaluated in the compute dtype
-    # (tanh approximation in bf16, exact erf in fp32)
-    if act == "gelu":
-        h = jax.nn.gelu(h, approximate=dt == jnp.bfloat16)
-    elif act == "relu":
-        h = jnp.maximum(h, 0)
-    else:
-        h = h * jax.nn.sigmoid(h)                          # swish
-    out = jax.lax.dot_general(h.astype(dt), w2_ref[:], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    out = out + b2_ref[:].astype(jnp.float32)
-    h32 = out + x.astype(jnp.float32)
-    mean = jnp.mean(h32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
-    y = (h32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
-    o_ref[0] = y.astype(o_ref.dtype)
+                o_ref, *, act, eps, BB):
+    for i in range(BB):
+        x = x_ref[i]                                       # [L, HID]
+        dt = x.dtype
+        h = jax.lax.dot_general(x, w1_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = (h + b1_ref[:].astype(jnp.float32)).astype(dt)
+        # parity with models/vilbert.py: gelu evaluated in the compute dtype
+        # (tanh approximation in bf16, exact erf in fp32)
+        if act == "gelu":
+            h = jax.nn.gelu(h, approximate=dt == jnp.bfloat16)
+        elif act == "relu":
+            h = jnp.maximum(h, 0)
+        else:
+            h = h * jax.nn.sigmoid(h)                      # swish
+        out = jax.lax.dot_general(h.astype(dt), w2_ref[:],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out = out + b2_ref[:].astype(jnp.float32)
+        h32 = out + x.astype(jnp.float32)
+        mean = jnp.mean(h32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+        y = (h32 - mean) * jax.lax.rsqrt(var + eps)
+        y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+        o_ref[i] = y.astype(o_ref.dtype)
 
 
 def fused_ffn_block(x, p_inter, p_out, *, act="gelu", eps=1e-12,
-                    interpret=False):
+                    block_b=1, interpret=False):
     """One-kernel BertIntermediate+BertOutput: LayerNorm(x + W2·act(W1·x)).
 
     Weights stay VMEM-resident across the sequence grid; the [L, intermediate]
@@ -201,12 +211,14 @@ def fused_ffn_block(x, p_inter, p_out, *, act="gelu", eps=1e-12,
     reference vilbert_dialog.py BertIntermediate/BertOutput :436-470).
     """
     B, L, HID = x.shape
+    while B % block_b:
+        block_b -= 1
     w = pl.BlockSpec(memory_space=pltpu.VMEM)
-    xspec = pl.BlockSpec((1, L, HID), lambda b: (b, 0, 0),
+    xspec = pl.BlockSpec((block_b, L, HID), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_ffn_kernel, act=act, eps=eps),
-        grid=(B,),
+        functools.partial(_ffn_kernel, act=act, eps=eps, BB=block_b),
+        grid=(B // block_b,),
         in_specs=[xspec, w, w, w, w, w, w],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
