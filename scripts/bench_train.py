@@ -70,6 +70,13 @@ def variant_cfg(name):
             cfg, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
             v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0,
             attention_impl="pallas")
+    elif name == "pallas_block":
+        cfg = dataclasses.replace(cfg, attention_impl="pallas_block")
+    elif name == "pallas_block_nodrop":
+        cfg = dataclasses.replace(
+            cfg, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0,
+            attention_impl="pallas_block")
     return cfg
 
 

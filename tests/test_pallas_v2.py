@@ -133,8 +133,9 @@ def test_model_level_pallas_block_matches_xla():
 
 
 def test_pallas_block_training_falls_back_and_differentiates():
-    # under train=True the block kernels must not be used (no VJP); the
-    # fallback chain still produces finite grads
+    # attention dropout > 0 on CPU cannot use the differentiable block
+    # kernel (pltpu PRNG has no interpret lowering) — the XLA fallback
+    # chain must engage and still produce finite grads
     cfg = dataclasses.replace(TINY, attention_impl="pallas_block",
                               attention_probs_dropout_prob=0.1)
     params = vilbert.init_params(jax.random.PRNGKey(4), cfg)
@@ -175,3 +176,50 @@ def test_pallas_block_under_sharded_evaluator():
                              mesh=mesh).score_flat(params_x, flat)
     np.testing.assert_allclose(out["ll_sum"], out_x["ll_sum"],
                                rtol=2e-2, atol=2e-2)
+
+
+def _grad_tree(cfg, params, batch, rng):
+    def loss_fn(p):
+        losses = unimm.forward_train(p, cfg, batch, rng=rng,
+                                     dtype=jnp.float32)
+        return losses["lm"] + losses["img"] + losses["nsp"]
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def test_pallas_block_train_grads_match_xla():
+    """With every dropout off the differentiable block kernel must reproduce
+    the XLA path's training gradients to fp32 rounding."""
+    kw = dict(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+              v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0)
+    cfg_x = dataclasses.replace(TINY, **kw)
+    cfg_p = dataclasses.replace(TINY, attention_impl="pallas_block", **kw)
+    params = vilbert.init_params(jax.random.PRNGKey(5), cfg_x)
+    batch = _tiny_batch(np.random.default_rng(9), cfg_x, B=3, train=True)
+    rng = jax.random.PRNGKey(2)
+    v_x, g_x = _grad_tree(cfg_x, params, batch, rng)
+    v_p, g_p = _grad_tree(cfg_p, params, batch, rng)
+    assert abs(float(v_x) - float(v_p)) < 1e-4
+    flat_x, tree = jax.tree_util.tree_flatten(g_x)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_block_train_hidden_dropout_cpu():
+    """attn dropout needs the TPU PRNG, but the hidden-dropout site (external
+    hardware-RNG scale mask) must work and be rng-deterministic on CPU."""
+    cfg = dataclasses.replace(
+        TINY, attention_impl="pallas_block",
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.1)
+    params = vilbert.init_params(jax.random.PRNGKey(6), cfg)
+    batch = _tiny_batch(np.random.default_rng(10), cfg, B=2, train=True)
+    rng = jax.random.PRNGKey(3)
+    v1, g1 = _grad_tree(cfg, params, batch, rng)
+    v2_, g2 = _grad_tree(cfg, params, batch, rng)
+    assert float(v1) == float(v2_)          # same rng -> same masks
+    assert np.isfinite(float(v1))
+    v3, _ = _grad_tree(cfg, params, batch, jax.random.PRNGKey(4))
+    assert float(v3) != float(v1)           # different rng -> different masks
+    for leaf in jax.tree_util.tree_leaves(g1):
+        assert bool(jnp.all(jnp.isfinite(leaf)))

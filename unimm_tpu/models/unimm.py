@@ -75,24 +75,31 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
     batch = expand_images(batch)
     Lmax = batch["tokens"].shape[-1]
     # Pallas text-stream kernels regenerate the text mask in-kernel, so the
-    # [B, L, L] bias is never materialised on those paths. Attention-prob
-    # dropout only exists on the XLA path, so training with dropout falls
-    # back to it; "pallas_block" (whole-sub-block kernels, no VJP) is
-    # eval-only and falls back to the v1 per-head kernel under grad.
+    # [B, L, L] bias is never materialised on those paths. "pallas_block"
+    # uses the whole-sub-block kernels: the eval variant on inference paths
+    # and the differentiable variant (custom VJP, in-kernel prob dropout)
+    # in training; the v1 per-head kernel ("pallas") has a VJP but no
+    # dropout site, so it only trains when attention dropout is off.
     impl = cfg.attention_impl
-    eligible = (not (train and cfg.attention_probs_dropout_prob > 0)
-                and not cfg.in_batch_pairs and not cfg.fast_mode)
-    use_block = impl == "pallas_block" and eligible and not train
-    use_pallas = (impl == "pallas" or (impl == "pallas_block" and train)) \
-        and eligible
+    interpret = jax.default_backend() == "cpu"
+    pairs_ok = not cfg.in_batch_pairs and not cfg.fast_mode
+    use_block = impl == "pallas_block" and pairs_ok and not train
+    # the differentiable block kernel regenerates its prob-dropout masks
+    # with the TPU hardware PRNG, which has no CPU interpret lowering — on
+    # CPU it is only usable when attention dropout is off (tests)
+    use_block_train = (impl == "pallas_block" and pairs_ok and train
+                       and not (interpret
+                                and cfg.attention_probs_dropout_prob > 0))
+    use_pallas = (impl == "pallas" and pairs_ok
+                  and not (train and cfg.attention_probs_dropout_prob > 0))
     text_fused_attn = text_fused_block = text_fused_ffn = None
+    text_fused_block_train = None
     t_bias = None
-    if use_block or use_pallas:
+    if use_block or use_block_train or use_pallas:
         desc = jnp.stack(
             [jnp.asarray(batch["mode"], jnp.int32),
              jnp.asarray(batch["ctx_end"], jnp.int32),
              jnp.asarray(batch["ans_len"], jnp.int32)], axis=-1)
-        interpret = jax.default_backend() == "cpu"
     if use_block:
         from unimm_tpu.ops import pallas_attention_v2 as pattn2
 
@@ -106,6 +113,24 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
                 return pattn2.fused_ffn_block(
                     x, p_inter, p_out, act=cfg.hidden_act,
                     interpret=interpret)
+    elif use_block_train:
+        from unimm_tpu.ops import pallas_attention_v2 as pattn2
+
+        def text_fused_block_train(p_attn, x, r):
+            m_o = (vilbert.dropout_scale_mask(
+                       r.next(), x.shape, cfg.hidden_dropout_prob, x.dtype)
+                   if cfg.hidden_dropout_prob > 0
+                   else jnp.ones_like(x))
+            seed = vilbert.dropout_seed(r)
+            ps, po = p_attn["self"], p_attn["output"]
+            return pattn2.fused_attention_block_train(
+                cfg.num_attention_heads, cfg.attention_probs_dropout_prob,
+                interpret, x, desc, seed, m_o,
+                ps["query"]["kernel"], ps["query"]["bias"],
+                ps["key"]["kernel"], ps["key"]["bias"],
+                ps["value"]["kernel"], ps["value"]["bias"],
+                po["dense"]["kernel"], po["dense"]["bias"],
+                po["LayerNorm"]["weight"], po["LayerNorm"]["bias"])
     elif use_pallas:
         from unimm_tpu.ops import pallas_attention as pattn
 
@@ -128,7 +153,8 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
         image_feat=batch["image_feat"], image_loc=batch["image_loc"],
         image_bias=v_bias, co_bias=co_bias, train=train, rng=rng, dtype=dtype,
         text_fused_attn=text_fused_attn, text_fused_block=text_fused_block,
-        text_fused_ffn=text_fused_ffn)
+        text_fused_ffn=text_fused_ffn,
+        text_fused_block_train=text_fused_block_train)
 
 
 def forward_train(params, cfg: VilbertConfig, batch, *, rng,

@@ -91,6 +91,20 @@ def layer_norm(p: Params, x, eps: float = 1e-12):
     return y.astype(x.dtype)
 
 
+def dropout_scale_mask(key, shape, rate: float, dtype):
+    """Bernoulli(1-rate) scale mask (values 0 or 1/keep) from the hardware
+    RNG — shared by ``dropout`` and the fused-kernel training path (which
+    applies the hidden-dropout mask inside the Pallas kernel)."""
+    keep = 1.0 - rate
+    k = jnp.asarray(jax.random.key_data(key), jnp.uint32).reshape(-1)
+    k = jnp.concatenate([k, k])[:4]
+    _, bits = jax.lax.rng_bit_generator(k, shape, dtype=jnp.uint32)
+    thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
+    return jnp.where(bits < thresh,
+                     jnp.asarray(1.0 / keep, dtype),
+                     jnp.asarray(0.0, dtype))
+
+
 def dropout(x, rate: float, train: bool, rng: _Rng):
     """Inverted dropout with masks drawn from the hardware RNG.
 
@@ -112,6 +126,12 @@ def dropout(x, rate: float, train: bool, rng: _Rng):
     _, bits = jax.lax.rng_bit_generator(key, x.shape, dtype=jnp.uint32)
     thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
     return jnp.where(bits < thresh, x / keep, jnp.zeros_like(x))
+
+
+def dropout_seed(rng: _Rng):
+    """Scalar int32 seed for in-kernel (pltpu) dropout streams."""
+    return jax.random.randint(rng.next(), (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
 
 
 def _split_heads(x, num_heads: int):
@@ -140,14 +160,19 @@ def attention_core(q, k, v, bias, *, drop_rate, train, rng):
 # ---------------------------------------------------------------------------
 
 def self_attention_block(p: Params, x, bias, *, num_heads, attn_drop, hidden_drop,
-                         train, rng, fused_attn=None, fused_block=None):
+                         train, rng, fused_attn=None, fused_block=None,
+                         fused_block_train=None):
     """BertAttention: self-attention + output projection/LN residual.
 
     ``fused_attn`` (q, k, v) -> ctx replaces the bias-based XLA attention with
     the Pallas kernel that regenerates the mask in-kernel. ``fused_block``
     (p, x) -> out replaces the ENTIRE block (projections, attention, output
     dense, residual+LN) with the one-pass Pallas kernel
-    (ops/pallas_attention_v2.fused_attention_block)."""
+    (ops/pallas_attention_v2.fused_attention_block); ``fused_block_train``
+    (p, x, rng) -> out is its differentiable variant with both training
+    dropout sites."""
+    if fused_block_train is not None:
+        return fused_block_train(p, x, rng)
     if fused_block is not None:
         return fused_block(p, x)
     ps = p["self"]
@@ -176,12 +201,13 @@ def ffn_block(p_inter: Params, p_out: Params, x, *, act, hidden_drop, train, rng
 
 
 def encoder_layer(p: Params, x, bias, *, num_heads, act, attn_drop, hidden_drop,
-                  train, rng, fused_attn=None, fused_block=None, fused_ffn=None):
+                  train, rng, fused_attn=None, fused_block=None, fused_ffn=None,
+                  fused_block_train=None):
     """BertLayer / BertImageLayer (vilbert_dialog.py:472-483, :601-612)."""
     attn_out = self_attention_block(
         p["attention"], x, bias, num_heads=num_heads, attn_drop=attn_drop,
         hidden_drop=hidden_drop, train=train, rng=rng, fused_attn=fused_attn,
-        fused_block=fused_block)
+        fused_block=fused_block, fused_block_train=fused_block_train)
     return ffn_block(p["intermediate"], p["output"], attn_out, act=act,
                      hidden_drop=hidden_drop, train=train, rng=rng,
                      fused_ffn=fused_ffn)
@@ -274,7 +300,7 @@ def image_embeddings(p: Params, cfg: VilbertConfig, features, locations, *,
 
 def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             train, rng, text_fused_attn=None, text_fused_block=None,
-            text_fused_ffn=None):
+            text_fused_ffn=None, text_fused_block_train=None):
     """BertEncoder interleave (vilbert_dialog.py:817-937).
 
     Supports the reference's optional modes:
@@ -298,7 +324,8 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             act=cfg.hidden_act, attn_drop=cfg.attention_probs_dropout_prob,
             hidden_drop=cfg.hidden_dropout_prob, train=train, rng=_Rng(key),
             fused_attn=text_fused_attn, fused_block=text_fused_block,
-            fused_ffn=text_fused_ffn)
+            fused_ffn=text_fused_ffn,
+            fused_block_train=text_fused_block_train)
 
     def v_fn(lp, x, key):
         return encoder_layer(
@@ -367,7 +394,7 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                position_ids, text_bias, image_feat, image_loc, image_bias,
                co_bias, train=False, rng=None, dtype=jnp.float32,
                text_fused_attn=None, text_fused_block=None,
-               text_fused_ffn=None):
+               text_fused_ffn=None, text_fused_block_train=None):
     """BertModel.forward (vilbert_dialog.py:1359-1472) with biases precomputed.
 
     Returns (sequence_t, sequence_v, pooled_t, pooled_v).
@@ -383,7 +410,8 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                            co_bias, train=train, rng=r,
                            text_fused_attn=text_fused_attn,
                            text_fused_block=text_fused_block,
-                           text_fused_ffn=text_fused_ffn)
+                           text_fused_ffn=text_fused_ffn,
+                           text_fused_block_train=text_fused_block_train)
     return t_seq, v_seq, pooler(p["t_pooler"], t_seq), pooler(p["v_pooler"], v_seq)
 
 

@@ -17,9 +17,16 @@ Two designs beyond ops/pallas_attention.py (v1, one sequence per grid step):
   models/vilbert.py:self_attention_block (reference semantics:
   vilbert_dialog.py BertSelfAttention/BertSelfOutput :372-470).
 
-Both kernels regenerate the text mask from (mode, ctx_end, ans_len) exactly
-as ops/masks.text_attention_mask (golden-tested). Eval path only — training
-with attention dropout uses the XLA path (models/unimm.py gating).
+* ``fused_attention_block_train`` — the differentiable variant of the block
+  kernel (custom VJP) with both training dropout sites: attention-prob masks
+  regenerated in-kernel from the TPU hardware PRNG, hidden-dropout applied
+  as an externally supplied scale mask. The backward pass recomputes q/k/v
+  and the per-head softmax in a second kernel, so no [B,H,L,L] tensor ever
+  touches HBM in either direction.
+
+All kernels regenerate the text mask from (mode, ctx_end, ans_len) exactly
+as ops/masks.text_attention_mask (golden-tested). Dispatch rules live in
+models/unimm.py:encode.
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from unimm_tpu.ops.pallas_attention import _mask_bias
 
 NEG = -10000.0
+LN_EPS = 1e-12   # BertLayerNorm eps (vilbert_dialog.py:167)
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +176,274 @@ def fused_attention_block(x, desc, p_attn, *, num_heads, eps=1e-12,
       ps["value"]["kernel"], ps["value"]["bias"],
       po["dense"]["kernel"], po["dense"]["bias"],
       po["LayerNorm"]["weight"], po["LayerNorm"]["bias"])
+
+
+# ---------------------------------------------------------------------------
+# fused_attention_block_train: the same sub-block, differentiable, with
+# in-kernel attention-probability dropout (TPU hardware PRNG)
+# ---------------------------------------------------------------------------
+#
+# Decomposition (keeps every [L, L] tensor in VMEM in BOTH passes):
+#   fwd kernel : x -> (y, ctx)       ctx = merged attention context, saved as
+#                                    a residual so the backward LN/Wo side
+#                                    needs no attention recompute
+#   bwd LN/Wo  : plain XLA — h_out = ctx@Wo+bo, od = h_out*m_o, LN backward,
+#                dWo/dbo/dgamma/dbeta einsums (all big dense matmuls)
+#   bwd kernel : (x, dctx) -> (dx_qkv, dq, dk, dv) — recomputes q/k/v and the
+#                per-head softmax (+ the identical dropout bits, reseeded per
+#                (sequence, head)) and backpropagates through it
+#   bwd tail   : XLA einsums for dWq/dWk/dWv and bias sums
+#
+# The hidden-dropout mask m_o ([B, L, HID] scale-mask: 0 or 1/keep) is
+# generated OUTSIDE with lax.rng_bit_generator — it is hidden-sized, so HBM
+# traffic is cheap; only the [L, L]-sized probability masks must be
+# regenerated in-kernel (pltpu.prng_seed(seed, b, h) makes the stream
+# order-independent between fwd and bwd). pltpu's PRNG has no CPU interpret
+# lowering, so attn_drop > 0 requires a real TPU; the attn_drop == 0 path is
+# interpret-safe and grad-parity-tested on CPU.
+
+
+def _prob_mask(seed, tag, L, attn_drop):
+    # Mosaic accepts at most two seed values: fold (sequence, head) into one
+    pltpu.prng_seed(seed, tag)
+    bits = pltpu.prng_random_bits((L, L))
+    keep = 1.0 - attn_drop
+    thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
+    return jnp.where(bits < thresh, jnp.float32(1.0 / keep), jnp.float32(0.0))
+
+
+def _train_fwd_kernel(desc_ref, seed_ref, x_ref, wq_ref, bq_ref, wk_ref,
+                      bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, g_ref, beta_ref,
+                      mo_ref, y_ref, ctx_ref, *, H, D, scale, eps, attn_drop):
+    b = pl.program_id(0)
+    L = x_ref.shape[-2]
+    x = x_ref[0]
+    dt = x.dtype
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref[:].astype(jnp.float32)).astype(dt)
+
+    q = (proj(wq_ref, bq_ref).astype(jnp.float32) * scale).astype(dt)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    bias = _mask_bias(desc_ref[b, 0], desc_ref[b, 1], desc_ref[b, 2], L)
+
+    ctx = []
+    for h in range(H):
+        qh = jax.lax.slice(q, (0, h * D), (L, (h + 1) * D))
+        kh = jax.lax.slice(k, (0, h * D), (L, (h + 1) * D))
+        vh = jax.lax.slice(v, (0, h * D), (L, (h + 1) * D))
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + bias, axis=-1)
+        if attn_drop > 0.0:
+            p = p * _prob_mask(seed_ref[0], b * H + h, L, attn_drop)
+        ctx.append(jax.lax.dot_general(
+            p.astype(dt), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt))
+    ctx = jnp.concatenate(ctx, axis=-1)
+    ctx_ref[0] = ctx
+
+    out = jax.lax.dot_general(ctx, wo_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = (out + bo_ref[:].astype(jnp.float32)) * mo_ref[0].astype(jnp.float32)
+    h32 = out + x.astype(jnp.float32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    y = (h32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _train_bwd_kernel(desc_ref, seed_ref, x_ref, dctx_ref, wq_ref, bq_ref,
+                      wk_ref, bk_ref, wv_ref, bv_ref, dx_ref, dq_ref, dk_ref,
+                      dv_ref, *, H, D, scale, attn_drop):
+    """Backward through (QKV proj -> masked softmax(+dropout) -> PV).
+
+    Emits dq/dk/dv w.r.t. the PRE-projection outputs (for the XLA dW einsums)
+    and dx_qkv = dq@Wq^T + dk@Wk^T + dv@Wv^T.
+    """
+    b = pl.program_id(0)
+    L = x_ref.shape[-2]
+    x = x_ref[0]
+    dt = x.dtype
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref[:].astype(jnp.float32)).astype(dt)
+
+    q_s = (proj(wq_ref, bq_ref).astype(jnp.float32) * scale).astype(dt)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    bias = _mask_bias(desc_ref[b, 0], desc_ref[b, 1], desc_ref[b, 2], L)
+    dctx = dctx_ref[0]
+
+    dqs, dks, dvs = [], [], []
+    for h in range(H):
+        qh = jax.lax.slice(q_s, (0, h * D), (L, (h + 1) * D))
+        kh = jax.lax.slice(k, (0, h * D), (L, (h + 1) * D))
+        vh = jax.lax.slice(v, (0, h * D), (L, (h + 1) * D))
+        dctx_h = jax.lax.slice(dctx, (0, h * D),
+                               (L, (h + 1) * D)).astype(jnp.float32)
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + bias, axis=-1)
+        if attn_drop > 0.0:
+            m = _prob_mask(seed_ref[0], b * H + h, L, attn_drop)
+            pd = p * m
+        else:
+            m = None
+            pd = p
+        # dpd = dctx_h @ vh^T ; dv_h = pd^T @ dctx_h
+        dpd = jax.lax.dot_general(dctx_h, vh.astype(jnp.float32),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dvs.append(jax.lax.dot_general(
+            pd, dctx_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt))
+        dp = dpd * m if m is not None else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # s = q_s @ kh^T : dq_s = ds @ kh ; dk = ds^T @ q_s
+        dq_s = jax.lax.dot_general(ds, kh.astype(jnp.float32),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dqs.append((dq_s * scale).astype(dt))   # chain through the q scale
+        dks.append(jax.lax.dot_general(
+            ds, q_s.astype(jnp.float32)[:, h * D:(h + 1) * D],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt))
+    dq = jnp.concatenate(dqs, axis=-1)
+    dk = jnp.concatenate(dks, axis=-1)
+    dv = jnp.concatenate(dvs, axis=-1)
+    dq_ref[0] = dq
+    dk_ref[0] = dk
+    dv_ref[0] = dv
+    # dx through the three projections (W^T contractions, weights resident)
+    dx = jax.lax.dot_general(dq, wq_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx = dx + jax.lax.dot_general(dk, wk_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dx = dx + jax.lax.dot_general(dv, wv_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _train_call_fwd(x, desc, seed, m_o, wq, bq, wk, bk, wv, bv, wo, bo, g,
+                    beta, *, H, eps, attn_drop, interpret):
+    B, L, HID = x.shape
+    D = HID // H
+    w = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, L, HID), lambda b, d, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(B,),
+        in_specs=[xspec, w, w, w, w, w, w, w, w, w, w, xspec],
+        out_specs=(xspec, xspec))
+    kernel = functools.partial(
+        _train_fwd_kernel, H=H, D=D, scale=1.0 / math.sqrt(D), eps=eps,
+        attn_drop=attn_drop)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x.shape, x.dtype)),
+        interpret=interpret,
+    )(desc, seed, x, wq, bq, wk, bk, wv, bv, wo, bo, g, beta, m_o)
+
+
+def _train_call_bwd(x, dctx, desc, seed, wq, bq, wk, bk, wv, bv, *, H,
+                    attn_drop, interpret):
+    B, L, HID = x.shape
+    D = HID // H
+    w = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, L, HID), lambda b, d, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(B,),
+        in_specs=[xspec, xspec, w, w, w, w, w, w],
+        out_specs=(xspec, xspec, xspec, xspec))
+    kernel = functools.partial(
+        _train_bwd_kernel, H=H, D=D, scale=1.0 / math.sqrt(D),
+        attn_drop=attn_drop)
+    sh = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(sh, sh, sh, sh),
+        interpret=interpret,
+    )(desc, seed, x, dctx, wq, bq, wk, bk, wv, bv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_attention_block_train(num_heads, attn_drop, interpret, x, desc,
+                                seed, m_o, wq, bq, wk, bk, wv, bv, wo, bo,
+                                g, beta):
+    """Differentiable one-kernel BertAttention with in-kernel prob dropout.
+
+    Same math as fused_attention_block plus the two training dropout sites
+    (vilbert_dialog.py BertSelfAttention :409 / BertSelfOutput :463):
+    attention probabilities (mask regenerated in-kernel from ``seed`` per
+    (sequence, head)) and the output dense (externally supplied scale-mask
+    ``m_o``, 0 or 1/keep).
+    """
+    y, _ = _train_call_fwd(x, desc, seed, m_o, wq, bq, wk, bk, wv, bv, wo,
+                           bo, g, beta, H=num_heads, eps=LN_EPS,
+                           attn_drop=attn_drop, interpret=interpret)
+    return y
+
+
+def _fabt_fwd(num_heads, attn_drop, interpret, x, desc, seed, m_o, wq, bq,
+              wk, bk, wv, bv, wo, bo, g, beta):
+    y, ctx = _train_call_fwd(x, desc, seed, m_o, wq, bq, wk, bk, wv, bv, wo,
+                             bo, g, beta, H=num_heads, eps=LN_EPS,
+                             attn_drop=attn_drop, interpret=interpret)
+    return y, (x, desc, seed, m_o, ctx, wq, bq, wk, bk, wv, bv, wo, bo, g,
+               beta)
+
+
+def _fabt_bwd(num_heads, attn_drop, interpret, res, dy):
+    (x, desc, seed, m_o, ctx, wq, bq, wk, bk, wv, bv, wo, bo, g,
+     beta) = res
+    f32 = jnp.float32
+    # ---- LN / Wo side (plain XLA; recompute h32 stats from ctx) ----
+    h_out = jnp.matmul(ctx, wo) + bo                       # [B,L,HID] dt
+    od = h_out.astype(f32) * m_o.astype(f32)
+    h32 = od + x.astype(f32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (h32 - mean) * inv
+    dy32 = dy.astype(f32)
+    dgamma = jnp.sum(dy32 * xhat, axis=(0, 1)).astype(g.dtype)
+    dbeta = jnp.sum(dy32, axis=(0, 1)).astype(beta.dtype)
+    dxhat = dy32 * g.astype(f32)
+    dh32 = (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)) * inv
+    dh_out = (dh32 * m_o.astype(f32)).astype(x.dtype)
+    dctx = jnp.matmul(dh_out, wo.T.astype(x.dtype))
+    dwo = jnp.einsum("ble,blf->ef", ctx.astype(f32), dh_out.astype(f32),
+                     preferred_element_type=f32).astype(wo.dtype)
+    dbo = jnp.sum(dh_out.astype(f32), axis=(0, 1)).astype(bo.dtype)
+    # ---- QKV / attention side (Pallas recompute kernel) ----
+    dx_qkv, dq, dk, dv = _train_call_bwd(
+        x, dctx, desc, seed, wq, bq, wk, bk, wv, bv, H=num_heads,
+        attn_drop=attn_drop, interpret=interpret)
+    dx = dx_qkv.astype(f32) + dh32
+    dwq = jnp.einsum("ble,blf->ef", x.astype(f32), dq.astype(f32),
+                     preferred_element_type=f32).astype(wq.dtype)
+    dwk = jnp.einsum("ble,blf->ef", x.astype(f32), dk.astype(f32),
+                     preferred_element_type=f32).astype(wk.dtype)
+    dwv = jnp.einsum("ble,blf->ef", x.astype(f32), dv.astype(f32),
+                     preferred_element_type=f32).astype(wv.dtype)
+    dbq = jnp.sum(dq.astype(f32), axis=(0, 1)).astype(bq.dtype)
+    dbk = jnp.sum(dk.astype(f32), axis=(0, 1)).astype(bk.dtype)
+    dbv = jnp.sum(dv.astype(f32), axis=(0, 1)).astype(bv.dtype)
+    return (dx.astype(x.dtype), None, None, jnp.zeros_like(m_o),
+            dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dgamma, dbeta)
+
+
+fused_attention_block_train.defvjp(_fabt_fwd, _fabt_bwd)
 
 
 # ---------------------------------------------------------------------------
