@@ -139,3 +139,40 @@ def test_short_and_corrupt_files(tmp_path):
     p.write_bytes(bytes(evil))
     db = nlmdb._PythonDB(str(p))     # meta0 accepted, offset not trusted
     assert db.get(b"x") is None
+
+
+def test_npz_to_lmdb_roundtrip(tmp_path):
+    """npz -> reference-format LMDB -> reader: records parse identically
+    (both converter directions compose)."""
+    import pickle
+
+    from unimm_tpu.data.features import (LmdbFeatureReader,
+                                         convert_npz_to_lmdb)
+
+    rng = np.random.default_rng(11)
+    arrays = {}
+    for i in (101, 202):
+        n = int(rng.integers(5, 12))
+        arrays[f"{i}_features"] = rng.normal(size=(n, 32)).astype(np.float32)
+        arrays[f"{i}_boxes"] = (rng.random((n, 4)) * 100).astype(np.float32)
+        arrays[f"{i}_cls_prob"] = rng.random((n, 7)).astype(np.float32)
+        arrays[f"{i}_hw"] = np.asarray([480, 640], np.int32)
+    npz_path = str(tmp_path / "f.npz")
+    np.savez_compressed(npz_path, **arrays)
+
+    lmdb_path = str(tmp_path / "f.lmdb")
+    convert_npz_to_lmdb(npz_path, lmdb_path)
+
+    reader = LmdbFeatureReader(lmdb_path)
+    assert reader.keys() == [b"101", b"202"]
+    for i in (101, 202):
+        out = reader[i]
+        # process_record output: (features, num_boxes+1, locations,
+        # locations_ori, cls_prob) — validate against the raw arrays
+        raw = pickle.loads(reader.db.get(str(i).encode()))
+        assert raw["image_id"] == i
+        dec = np.frombuffer(
+            __import__("base64").b64decode(raw["features"]),
+            np.float32).reshape(arrays[f"{i}_features"].shape)
+        np.testing.assert_array_equal(dec, arrays[f"{i}_features"])
+        assert out[0].shape[0] == arrays[f"{i}_features"].shape[0] + 1

@@ -167,3 +167,37 @@ def convert_lmdb_to_npz(lmdb_path: str, npz_path: str, limit: int = 0):
         arrays[f"{i}_cls_prob"] = cls_prob
         arrays[f"{i}_hw"] = np.asarray([h, w], np.int32)
     np.savez_compressed(npz_path, **arrays)
+
+
+def convert_npz_to_lmdb(npz_path: str, lmdb_path: str, psize: int = 4096):
+    """Reciprocal export: .npz layout -> a reference-format LMDB environment
+    (keys = str(image_id), values = pickled record dicts with base64 fields,
+    plus the 'keys' index entry the reference reader expects —
+    image_features_reader.py:43-44). The output is readable both by liblmdb
+    tooling and by unimm_tpu.native.lmdb."""
+    from unimm_tpu.native.lmdb_format import Writer
+
+    npz = np.load(npz_path, allow_pickle=False)
+    ids = sorted({int(k.split("_", 1)[0]) for k in npz.files})
+    items = []
+    key_list = []
+    for i in ids:
+        feats = np.asarray(npz[f"{i}_features"], np.float32)
+        boxes = np.asarray(npz[f"{i}_boxes"], np.float32)
+        cls_prob = np.asarray(npz[f"{i}_cls_prob"], np.float32)
+        h, w = (int(v) for v in npz[f"{i}_hw"])
+        record = {
+            "image_id": i,
+            "num_boxes": int(feats.shape[0]),
+            "feature_size": int(feats.shape[1]),
+            "num_classes": int(cls_prob.shape[1]),
+            "image_h": h, "image_w": w,
+            "features": base64.b64encode(feats.tobytes()),
+            "boxes": base64.b64encode(boxes.tobytes()),
+            "cls_prob": base64.b64encode(cls_prob.tobytes()),
+        }
+        key = str(i).encode()
+        key_list.append(key)
+        items.append((key, pickle.dumps(record)))
+    items.append((b"keys", pickle.dumps(key_list)))
+    Writer(psize=psize).write(lmdb_path, items)
