@@ -72,6 +72,11 @@ def variant_cfg(name):
             attention_impl="pallas")
     elif name == "pallas_block":
         cfg = dataclasses.replace(cfg, attention_impl="pallas_block")
+    elif name == "pallas_block_noremat":
+        cfg = dataclasses.replace(cfg, attention_impl="pallas_block",
+                                  remat=False)
+    elif name == "noremat":
+        cfg = dataclasses.replace(cfg, remat=False)
     elif name == "pallas_block_nodrop":
         cfg = dataclasses.replace(
             cfg, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,

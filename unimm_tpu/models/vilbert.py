@@ -327,6 +327,26 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             fused_ffn=text_fused_ffn,
             fused_block_train=text_fused_block_train)
 
+    def t_fn_selective(lp, x, key):
+        # selective remat for the fused-training path: the attention block's
+        # custom VJP already saves cheap residuals (x, ctx, m_o) instead of
+        # recomputing the whole sub-block, so only the FFN is checkpointed.
+        attn_out = self_attention_block(
+            lp["attention"], x, None, num_heads=cfg.num_attention_heads,
+            attn_drop=cfg.attention_probs_dropout_prob,
+            hidden_drop=cfg.hidden_dropout_prob, train=train, rng=_Rng(key),
+            fused_block_train=text_fused_block_train)
+
+        def ffn(lp_, h, k2):
+            return ffn_block(lp_["intermediate"], lp_["output"], h,
+                             act=cfg.hidden_act,
+                             hidden_drop=cfg.hidden_dropout_prob,
+                             train=train, rng=_Rng(k2))
+
+        ffn = jax.checkpoint(ffn)
+        k2 = (jax.random.fold_in(key, 7777) if key is not None else None)
+        return ffn(lp, attn_out, k2)
+
     def v_fn(lp, x, key):
         return encoder_layer(
             lp, x, v_bias, num_heads=cfg.v_num_attention_heads,
@@ -340,7 +360,8 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
                                 fused_t_ffn=text_fused_ffn)
 
     if cfg.remat:
-        t_fn = jax.checkpoint(t_fn)
+        t_fn = (t_fn_selective if text_fused_block_train is not None
+                else jax.checkpoint(t_fn))
         v_fn = jax.checkpoint(v_fn)
         c_fn = jax.checkpoint(c_fn)
 
