@@ -66,7 +66,11 @@ def main():
             "image_mask": np.ones((B, Rg), np.float32),
         }
 
-    for chunk in (500, 250, 125):
+    # chunk scan on v5e (scripts/bench_e2e_ab.py, pallas_block):
+    # 125 -> 1.67, 200 -> 1.68, 250 -> 1.79/1.72, 500 -> 1.58-1.67,
+    # 1000 -> 1.63 dialogs/s/chip; 250 wins (host->device staging of the
+    # next chunk overlaps device compute of the current one)
+    for chunk in (250, 125):
         try:
             ev = RankingEvaluator(cfg, chunk_size=chunk, dtype=jnp.bfloat16,
                                   need_lm=True, need_nsp=False)

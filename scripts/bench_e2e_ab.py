@@ -25,6 +25,8 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 def run(spec, chunk=500):
     impl, _, opt = spec.partition(":")
+    if opt.isdigit():
+        chunk, opt = int(opt), ""
     from unimm_tpu.config import VilbertConfig
     from unimm_tpu.data.dataset import flatten_for_forward
     from unimm_tpu.eval.evaluator import RankingEvaluator

@@ -83,8 +83,10 @@ def read_command_line(argv=None) -> dict:
                         help='WordPiece vocab file (bert-base-uncased layout)')
     parser.add_argument('-mesh_mp', default=1, type=int,
                         help='tensor-parallel mesh axis size')
-    parser.add_argument('-eval_chunk', default=512, type=int,
-                        help='sequences per jitted eval forward')
+    parser.add_argument('-eval_chunk', default=250, type=int,
+                        help='sequences per jitted eval forward (250 beat '
+                             '125/200/500/1000 on v5e: finer chunks overlap '
+                             'host->device staging with device compute)')
     parser.add_argument('-dtype', default='bfloat16',
                         choices=['bfloat16', 'float32'])
     parser.add_argument('-seed', default=0, type=int)
