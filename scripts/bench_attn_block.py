@@ -71,9 +71,95 @@ def fused_ffn_bb2(p, x, mode, ctx_end, ans_len):
     return v2.fused_ffn_block(x, p["inter"], p["out"], act="gelu", block_b=2)
 
 
+# --- probe kernels (attribution only; NOT semantically correct) -----------
+import functools
+import math
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from unimm_tpu.ops.pallas_attention import _mask_bias
+
+
+def _probe_kernel(desc_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                  wv_ref, bv_ref, wo_ref, bo_ref, g_ref, beta_ref, o_ref,
+                  *, Hn, Dn, scale, softmax_mode):
+    b = pl.program_id(0)
+    Ln = x_ref.shape[-2]
+    x = x_ref[0]
+    dt = x.dtype
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref[:].astype(jnp.float32)).astype(dt)
+
+    q = (proj(wq_ref, bq_ref).astype(jnp.float32) * scale).astype(dt)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    bias = _mask_bias(desc_ref[b, 0], desc_ref[b, 1], desc_ref[b, 2], Ln)
+    ctx = []
+    for h in range(Hn):
+        qh = jax.lax.slice(q, (0, h * Dn), (Ln, (h + 1) * Dn))
+        kh = jax.lax.slice(k, (0, h * Dn), (Ln, (h + 1) * Dn))
+        vh = jax.lax.slice(v, (0, h * Dn), (Ln, (h + 1) * Dn))
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if softmax_mode == "none":            # matmuls-only floor
+            p = (s + bias) * 1e-4
+        elif softmax_mode == "skip":
+            p = None
+        elif softmax_mode == "noshift":       # exp without row-max pass
+            e = jnp.exp(s + bias - 20.0)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            p = jax.nn.softmax(s + bias, axis=-1)
+        ctx.append(vh if p is None else jax.lax.dot_general(
+            p.astype(dt), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt))
+    ctx = jnp.concatenate(ctx, axis=-1)
+    out = jax.lax.dot_general(ctx, wo_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    h32 = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    y = (h32 - mean) * jax.lax.rsqrt(var + 1e-12)
+    y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _mk_probe(softmax_mode):
+    def f(p, x, mode, ctx_end, ans_len):
+        desc = jnp.stack([mode, ctx_end, ans_len], axis=-1)
+        ps, po = p["self"], p["output"]
+        w = pl.BlockSpec(memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((1, L, HID), lambda b, d: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B,),
+            in_specs=[xspec, w, w, w, w, w, w, w, w, w, w],
+            out_specs=xspec)
+        kern = functools.partial(_probe_kernel, Hn=H, Dn=D,
+                                 scale=1.0 / math.sqrt(D),
+                                 softmax_mode=softmax_mode)
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(desc, x,
+          ps["query"]["kernel"], ps["query"]["bias"],
+          ps["key"]["kernel"], ps["key"]["bias"],
+          ps["value"]["kernel"], ps["value"]["bias"],
+          po["dense"]["kernel"], po["dense"]["bias"],
+          po["LayerNorm"]["weight"], po["LayerNorm"]["bias"])
+    return f
+
+
 VARIANTS = {"xla_block": xla_block, "fused_block": fused_block,
             "xla_ffn": xla_ffn, "fused_ffn": fused_ffn,
-            "fused_block_bb2": fused_block_bb2, "fused_ffn_bb2": fused_ffn_bb2}
+            "fused_block_bb2": fused_block_bb2, "fused_ffn_bb2": fused_ffn_bb2,
+            "probe_nosoftmax": _mk_probe("none"),
+            "probe_projonly": _mk_probe("skip"),
+            "probe_noshift": _mk_probe("noshift"),
+            "probe_softmax": _mk_probe("full")}
 
 
 def bench(name, fn, p):
