@@ -223,3 +223,37 @@ def test_pallas_block_train_hidden_dropout_cpu():
     assert float(v3) != float(v1)           # different rng -> different masks
     for leaf in jax.tree_util.tree_leaves(g1):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_fused_block_fuzz_shapes():
+    """Fused attention block vs XLA chain across random shapes and edge-case
+    descriptors (dis/gen, ans_len 0, truncated gen layouts)."""
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        H = int(rng.choice([2, 4]))
+        D = int(rng.choice([16, 32]))
+        L = int(rng.choice([32, 64]))
+        B = int(rng.integers(2, 5))
+        HID = H * D
+        x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+        mode = rng.integers(0, 2, (B,)).astype(np.int32)
+        ctx = rng.integers(4, L - 2, (B,)).astype(np.int32)
+        ans = np.where(mode == 1,
+                       rng.integers(0, L // 2, (B,)), 0).astype(np.int32)
+        if trial == 0:      # truncated gen: ctx+2*(ans+1) > L
+            mode[:] = 1
+            ctx[:] = L - 4
+            ans[:] = L // 2
+        p = vilbert._init_attention(
+            jax.random.PRNGKey(100 + trial), HID, 0.02)
+        bias = masks.text_self_bias(jnp.asarray(mode), jnp.asarray(ctx),
+                                    jnp.asarray(ans), L, jnp.float32)
+        ref = vilbert.self_attention_block(
+            p, x, bias, num_heads=H, attn_drop=0.0, hidden_drop=0.0,
+            train=False, rng=None)
+        desc = jnp.asarray(np.stack([mode, ctx, ans], axis=-1))
+        out = v2.fused_attention_block(x, desc, p, num_heads=H,
+                                       interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=2e-6,
+            err_msg=f"trial {trial} H={H} D={D} L={L} B={B}")

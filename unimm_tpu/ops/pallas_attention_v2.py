@@ -41,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from unimm_tpu.ops.pallas_attention import _mask_bias
 
-NEG = -10000.0
 LN_EPS = 1e-12   # BertLayerNorm eps (vilbert_dialog.py:167)
 
 
