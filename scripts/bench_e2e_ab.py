@@ -23,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def run(spec, chunk=500):
+def run(spec, chunk=250):
     impl, _, opt = spec.partition(":")
     if opt.isdigit():
         chunk, opt = int(opt), ""
@@ -33,7 +33,8 @@ def run(spec, chunk=500):
     from unimm_tpu.models import vilbert
 
     cfg = dataclasses.replace(VilbertConfig(), attention_impl=impl,
-                              fused_ffn=opt != "noffn")
+                              fused_ffn=opt != "noffn",
+                              fused_co=opt != "noco")
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions

@@ -257,3 +257,48 @@ def test_fused_block_fuzz_shapes():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=0, atol=2e-6,
             err_msg=f"trial {trial} H={H} D={D} L={L} B={B}")
+
+
+def test_fused_co_text_block_matches_xla():
+    """Text-side co-attention sub-block kernel vs the XLA connection-layer
+    path (q2 attends k1/v1 under the image-padding bias + dense2 + LN2)."""
+    B, H, L, R = 3, 2, 32, 5
+    BI, HT, HV = 2 * 16, 24, 20
+    rng = np.random.default_rng(3)
+    t_x = jnp.asarray(rng.normal(size=(B, L, HT)), jnp.float32)
+    v_x = jnp.asarray(rng.normal(size=(B, R, HV)), jnp.float32)
+    imask = np.ones((B, R), np.int32)
+    imask[:, -1] = 0
+    key = jax.random.PRNGKey(9)
+    p_conn = {
+        "biattention": {
+            "query2": vilbert._init_linear(key, HT, BI, 0.02),
+            "key1": vilbert._init_linear(jax.random.fold_in(key, 1),
+                                         HV, BI, 0.02),
+            "value1": vilbert._init_linear(jax.random.fold_in(key, 2),
+                                           HV, BI, 0.02),
+        },
+        "biOutput": {
+            "dense2": vilbert._init_linear(jax.random.fold_in(key, 3),
+                                           BI, HT, 0.02),
+            "LayerNorm2": vilbert._init_ln(HT),
+        },
+    }
+    # XLA reference path (mirrors connection_layer's text side)
+    from unimm_tpu.ops import masks as M
+    v_bias = M.image_self_bias(jnp.asarray(imask), jnp.float32)
+    q2 = vilbert._split_heads(
+        vilbert.linear(p_conn["biattention"]["query2"], t_x), H)
+    k1 = vilbert._split_heads(
+        vilbert.linear(p_conn["biattention"]["key1"], v_x), H)
+    v1 = vilbert._split_heads(
+        vilbert.linear(p_conn["biattention"]["value1"], v_x), H)
+    ctx = vilbert._merge_heads(vilbert.attention_core(
+        q2, k1, v1, v_bias, drop_rate=0.0, train=False, rng=None))
+    t_h = vilbert.linear(p_conn["biOutput"]["dense2"], ctx)
+    ref = vilbert.layer_norm(p_conn["biOutput"]["LayerNorm2"], t_h + t_x)
+
+    out = v2.fused_co_text_block(t_x, v_x, jnp.asarray(imask), p_conn,
+                                 num_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-6)

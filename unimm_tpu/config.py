@@ -67,6 +67,11 @@ class VilbertConfig:
     # layers' t-FFNs) through the fused FFN kernel. Ties XLA in isolation
     # but measured on the end-to-end evaluator (scripts/bench_e2e_ab.py)
     fused_ffn: bool = True
+    # under "pallas_block": fuse the text side of the co-attention layers
+    # (q2 attends k1/v1 + dense2 + residual + LN2) into one kernel.
+    # Measured a wash on v5e (interleaved A/B 1.835 vs 1.848 d/s off) —
+    # XLA batches the small [L, 37] co-probs fine; kept as an option
+    fused_co: bool = False
     # rematerialise encoder layers in the backward pass (jax.checkpoint):
     # trades ~30% recompute for O(layers) less activation memory, enabling
     # the paper's 240-sequence training batch on a single 16GB chip

@@ -93,7 +93,7 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
     use_pallas = (impl == "pallas" and pairs_ok
                   and not (train and cfg.attention_probs_dropout_prob > 0))
     text_fused_attn = text_fused_block = text_fused_ffn = None
-    text_fused_block_train = None
+    text_fused_block_train = text_fused_co = None
     t_bias = None
     if use_block or use_block_train or use_pallas:
         desc = jnp.stack(
@@ -112,6 +112,15 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
             def text_fused_ffn(p_inter, p_out, x):
                 return pattn2.fused_ffn_block(
                     x, p_inter, p_out, act=cfg.hidden_act,
+                    interpret=interpret)
+
+        if cfg.fused_co:
+            imask = jnp.asarray(batch["image_mask"])
+
+            def text_fused_co(p_conn, v_x, t_x):
+                return pattn2.fused_co_text_block(
+                    t_x, v_x, imask, p_conn,
+                    num_heads=cfg.bi_num_attention_heads,
                     interpret=interpret)
     elif use_block_train:
         from unimm_tpu.ops import pallas_attention_v2 as pattn2
@@ -154,7 +163,8 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
         image_bias=v_bias, co_bias=co_bias, train=train, rng=rng, dtype=dtype,
         text_fused_attn=text_fused_attn, text_fused_block=text_fused_block,
         text_fused_ffn=text_fused_ffn,
-        text_fused_block_train=text_fused_block_train)
+        text_fused_block_train=text_fused_block_train,
+        text_fused_co=text_fused_co)
 
 
 def forward_train(params, cfg: VilbertConfig, batch, *, rng,

@@ -214,7 +214,7 @@ def encoder_layer(p: Params, x, bias, *, num_heads, act, attn_drop, hidden_drop,
 
 
 def connection_layer(p: Params, cfg: VilbertConfig, v_x, v_bias, t_x, co_bias, *,
-                     train, rng, fused_t_ffn=None):
+                     train, rng, fused_t_ffn=None, fused_co_text=None):
     """BertConnectionLayer (vilbert_dialog.py:757-783): co-attention + FFNs.
 
     Replicates BertBiAttention masking exactly (vilbert_dialog.py:655-709):
@@ -224,18 +224,11 @@ def connection_layer(p: Params, cfg: VilbertConfig, v_x, v_bias, t_x, co_bias, *
     """
     pb = p["biattention"]
     nh = cfg.bi_num_attention_heads
+    po = p["biOutput"]
 
     q1 = _split_heads(linear(pb["query1"], v_x), nh)   # vision
-    k1 = _split_heads(linear(pb["key1"], v_x), nh)
-    v1 = _split_heads(linear(pb["value1"], v_x), nh)
-    q2 = _split_heads(linear(pb["query2"], t_x), nh)   # text
     k2 = _split_heads(linear(pb["key2"], t_x), nh)
     v2 = _split_heads(linear(pb["value2"], t_x), nh)
-
-    # text queries attend image keys/values  (scores1, vilbert_dialog.py:681-698)
-    ctx_t_from_v = _merge_heads(attention_core(
-        q2, k1, v1, v_bias, drop_rate=cfg.v_attention_probs_dropout_prob,
-        train=train, rng=rng))
     # image queries attend text keys/values  (scores2, vilbert_dialog.py:701-721)
     ctx_v_from_t = _merge_heads(attention_core(
         q1, k2, v2, co_bias, drop_rate=cfg.attention_probs_dropout_prob,
@@ -245,13 +238,25 @@ def connection_layer(p: Params, cfg: VilbertConfig, v_x, v_bias, t_x, co_bias, *
     # biOutput(bi_output2, v_x, bi_output1, t_x) — the image-queries-text
     # context (region-length) feeds the VISION residual via dense1, and the
     # text-queries-image context (text-length) feeds the TEXT residual.
-    po = p["biOutput"]
     v_h = dropout(linear(po["dense1"], ctx_v_from_t),
                   cfg.v_hidden_dropout_prob, train, rng)
     v_out = layer_norm(po["LayerNorm1"], v_h + v_x)
-    t_h = dropout(linear(po["dense2"], ctx_t_from_v),
-                  cfg.hidden_dropout_prob, train, rng)
-    t_out = layer_norm(po["LayerNorm2"], t_h + t_x)
+
+    if fused_co_text is not None:
+        # text-side sub-block (q2 attends k1/v1 + dense2 + residual + LN2)
+        # as one Pallas kernel (eval paths)
+        t_out = fused_co_text(p, v_x, t_x)
+    else:
+        q2 = _split_heads(linear(pb["query2"], t_x), nh)   # text
+        k1 = _split_heads(linear(pb["key1"], v_x), nh)
+        v1 = _split_heads(linear(pb["value1"], v_x), nh)
+        # text queries attend image keys/values (scores1, :681-698)
+        ctx_t_from_v = _merge_heads(attention_core(
+            q2, k1, v1, v_bias, drop_rate=cfg.v_attention_probs_dropout_prob,
+            train=train, rng=rng))
+        t_h = dropout(linear(po["dense2"], ctx_t_from_v),
+                      cfg.hidden_dropout_prob, train, rng)
+        t_out = layer_norm(po["LayerNorm2"], t_h + t_x)
 
     v_out = ffn_block(p["v_intermediate"], p["v_output"], v_out,
                       act=cfg.v_hidden_act,
@@ -300,7 +305,8 @@ def image_embeddings(p: Params, cfg: VilbertConfig, features, locations, *,
 
 def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             train, rng, text_fused_attn=None, text_fused_block=None,
-            text_fused_ffn=None, text_fused_block_train=None):
+            text_fused_ffn=None, text_fused_block_train=None,
+            text_fused_co=None):
     """BertEncoder interleave (vilbert_dialog.py:817-937).
 
     Supports the reference's optional modes:
@@ -357,7 +363,8 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
     def c_fn(cp, vx, tx, key):
         return connection_layer(cp, cfg, vx, v_bias, tx, co_bias,
                                 train=train, rng=_Rng(key),
-                                fused_t_ffn=text_fused_ffn)
+                                fused_t_ffn=text_fused_ffn,
+                                fused_co_text=text_fused_co)
 
     if cfg.remat:
         t_fn = (t_fn_selective if text_fused_block_train is not None
@@ -415,7 +422,8 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                position_ids, text_bias, image_feat, image_loc, image_bias,
                co_bias, train=False, rng=None, dtype=jnp.float32,
                text_fused_attn=None, text_fused_block=None,
-               text_fused_ffn=None, text_fused_block_train=None):
+               text_fused_ffn=None, text_fused_block_train=None,
+               text_fused_co=None):
     """BertModel.forward (vilbert_dialog.py:1359-1472) with biases precomputed.
 
     Returns (sequence_t, sequence_v, pooled_t, pooled_v).
@@ -432,7 +440,8 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                            text_fused_attn=text_fused_attn,
                            text_fused_block=text_fused_block,
                            text_fused_ffn=text_fused_ffn,
-                           text_fused_block_train=text_fused_block_train)
+                           text_fused_block_train=text_fused_block_train,
+                           text_fused_co=text_fused_co)
     return t_seq, v_seq, pooler(p["t_pooler"], t_seq), pooler(p["v_pooler"], v_seq)
 
 

@@ -504,6 +504,103 @@ def fused_ffn_block(x, p_inter, p_out, *, act="gelu", eps=1e-12,
 
 
 # ---------------------------------------------------------------------------
+# fused_co_text_block: the TEXT side of BertConnectionLayer in one kernel —
+# q2(t_x) attends k1/v1(v_x) under the image-padding bias, then dense2 +
+# residual + LayerNorm2 (reference vilbert_dialog.py BertBiAttention
+# :681-698 scores1 path and BertBiOutput :771-775 dense2/LayerNorm2).
+# The image side (q1 attends text under the co-mask, dense1/LayerNorm1) is
+# region-length (37 rows) and stays on XLA, which batches it better.
+# ---------------------------------------------------------------------------
+
+def _co_text_kernel(tx_ref, vx_ref, imask_ref, wq2_ref, bq2_ref, wk1_ref,
+                    bk1_ref, wv1_ref, bv1_ref, wd2_ref, bd2_ref, g_ref,
+                    beta_ref, o_ref, *, H, D, scale, eps):
+    t = tx_ref[0]                                          # [L, HID_T]
+    vx = vx_ref[0]                                         # [R, HID_V]
+    dt = t.dtype
+    L = t.shape[0]
+    R = vx.shape[0]
+
+    def proj(x, w_ref, b_ref):
+        y = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref[:].astype(jnp.float32)).astype(dt)
+
+    q2 = proj(t, wq2_ref, bq2_ref)                         # [L, BI]
+    q2 = (q2.astype(jnp.float32) * scale).astype(dt)
+    k1 = proj(vx, wk1_ref, bk1_ref)                        # [R, BI]
+    v1 = proj(vx, wv1_ref, bv1_ref)
+    # image padding bias (ops/masks.image_self_bias / to_additive semantics):
+    # -10000 on masked-out regions, broadcast over text rows. The mask
+    # arrives [1, 1, R] (block over [B, 1, R] — a [B, R] block of (1, R)
+    # violates the sublane tiling rule); [0] reads a [1, R] row that
+    # broadcasts over the [L, R] scores.
+    bias = jnp.where(imask_ref[0] > 0, jnp.float32(0.0),
+                     jnp.float32(-10000.0))
+
+    ctx = []
+    for h in range(H):
+        qh = jax.lax.slice(q2, (0, h * D), (L, (h + 1) * D))
+        kh = jax.lax.slice(k1, (0, h * D), (R, (h + 1) * D))
+        vh = jax.lax.slice(v1, (0, h * D), (R, (h + 1) * D))
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + bias, axis=-1)              # [L, R]
+        ctx.append(jax.lax.dot_general(
+            p.astype(dt), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt))
+    ctx = jnp.concatenate(ctx, axis=-1)                    # [L, BI]
+
+    out = jax.lax.dot_general(ctx, wd2_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    h32 = out + bd2_ref[:].astype(jnp.float32) + t.astype(jnp.float32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    y = (h32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def fused_co_text_block(t_x, v_x, image_mask, p_conn, *, num_heads,
+                        eps=1e-12, interpret=False):
+    """Text-side co-attention sub-block: LayerNorm2(t_x + Wd2·attn(q2,k1,v1)).
+
+    Args:
+      t_x: [B, L, HID_T] text stream.
+      v_x: [B, R, HID_V] vision stream.
+      image_mask: [B, R] (1 = real region).
+      p_conn: the c_layer param subtree ({biattention: {query2,key1,value1},
+        biOutput: {dense2, LayerNorm2}}), cast to the compute dtype.
+    """
+    B, L, HT = t_x.shape
+    _, R, HV = v_x.shape
+    pb, po = p_conn["biattention"], p_conn["biOutput"]
+    BI = pb["query2"]["kernel"].shape[1]
+    D = BI // num_heads
+    w = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, L, HT), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, R, HV), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_co_text_kernel, H=num_heads, D=D,
+                               scale=1.0 / math.sqrt(D), eps=eps)
+    return pl.pallas_call(
+        kernel, grid=(B,),
+        in_specs=[tspec, vspec, mspec, w, w, w, w, w, w, w, w, w, w],
+        out_specs=tspec,
+        out_shape=jax.ShapeDtypeStruct(t_x.shape, t_x.dtype),
+        interpret=interpret,
+    )(t_x, v_x, jnp.asarray(image_mask)[:, None, :],
+      pb["query2"]["kernel"], pb["query2"]["bias"],
+      pb["key1"]["kernel"], pb["key1"]["bias"],
+      pb["value1"]["kernel"], pb["value1"]["bias"],
+      po["dense2"]["kernel"], po["dense2"]["bias"],
+      po["LayerNorm2"]["weight"], po["LayerNorm2"]["bias"])
+
+
+# ---------------------------------------------------------------------------
 # bench variants (scripts/bench_attn.py)
 # ---------------------------------------------------------------------------
 
