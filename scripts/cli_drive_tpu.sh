@@ -57,4 +57,13 @@ python -m unimm_tpu.cli.train $COMMON \
 python -m unimm_tpu.cli.val_lm $COMMON \
   -start_path $W/ckpt/drive/visdial_dialog_encoder_1.ckpt \
   -val_dis 0 -save_name drive_val
+
+# phase-2 dense-annotation finetuning from the phase-1 checkpoint (the
+# reference's two-stage recipe; one step -- checkpoints save at the
+# reference's own cadence, iter % epoch == 0 && iter > 0)
+python -m unimm_tpu.cli.dense_finetune $COMMON \
+  -start_path $W/ckpt/drive/visdial_dialog_encoder_1.ckpt \
+  -batch_multiply 2 -num_epochs 1 -overfit -remat 1 -num_options 25 \
+  -eval_every_epochs 100 -save_every_epochs 1 \
+  -save_path $W/ckpt_dense -save_name dense
 echo "CLI DRIVE OK: $(ls $W/drive_val_predictions.txt)"
