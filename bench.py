@@ -79,11 +79,12 @@ def main():
                      for _ in range(3)]
             for f in flats:                      # compile + warmup
                 ev.score_flat(params, f)
-            # pinned protocol: 3 repeats of 6 scoring passes over 3 distinct
+            # pinned protocol: 9 repeats of 6 scoring passes over 3 distinct
             # batches (byte-identical dispatches can return memoised through
-            # the TPU relay); report the median repeat
+            # the TPU relay); report the median repeat. 9 (was 5) damps the
+            # +/-4% cross-process thermal/tunnel drift observed on v5e.
             iters, repeats = 6, []
-            for _ in range(5):
+            for _ in range(9):
                 t0 = time.perf_counter()
                 for i in range(iters):
                     ev.score_flat(params, flats[i % 3])
