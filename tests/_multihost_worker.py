@@ -89,4 +89,19 @@ state, metrics = compiled(state, batch, nw)
 m = {key: float(v) for key, v in sorted(metrics.items())}
 assert all(np.isfinite(v) for v in m.values()), m
 print("METRICS", rank, m, flush=True)
+
+# ---- 3. multi-host eval: identical host data, per-process chunk slices ----
+from unimm_tpu.eval.evaluator import RankingEvaluator  # noqa: E402
+
+ev = RankingEvaluator(cfg, chunk_size=4, dtype=jnp.float32,
+                      need_lm=True, need_nsp=True, mesh=mesh)
+eval_full = {k: np.asarray(v)
+             for k, v in _synthetic_batch(np.random.default_rng(7), cfg,
+                                          8).items()}
+scores = ev.score_flat(state["params"], eval_full)
+assert scores["ll_sum"].shape == (8,)
+assert np.isfinite(scores["ll_sum"]).all()
+assert np.isfinite(scores["nsp_prob"]).all()
+print("EVAL", rank, [round(float(x), 4) for x in scores["ll_sum"]],
+      flush=True)
 print("WORKER_OK", rank, flush=True)

@@ -113,3 +113,14 @@ def test_multiprocess_step_matches_single_process(worker_outputs):
         if k == "label_budget_overflow":
             continue
         assert abs(float(v) - m0[k]) < 1e-4, (k, float(v), m0[k])
+
+
+@pytest.mark.slow
+def test_multiprocess_eval_scores_agree(worker_outputs):
+    """Multi-host sharded eval: per-process chunk slices assemble into the
+    global batch, and the replicated score vectors agree across processes."""
+    e0 = _parse(worker_outputs[0][1], "EVAL", 0)
+    e1 = _parse(worker_outputs[1][1], "EVAL", 1)
+    assert len(e0) == len(e1) == 8
+    import numpy as np
+    np.testing.assert_allclose(e0, e1, rtol=1e-5, atol=1e-5)

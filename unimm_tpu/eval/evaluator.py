@@ -49,12 +49,19 @@ class RankingEvaluator:
         self.mesh = mesh
         self._chunk_sharding = None
         self._repl = None
+        self._nproc = 1
         if mesh is not None:
             from unimm_tpu.parallel import mesh as pmesh
             assert chunk_size % mesh.shape[pmesh.DP] == 0, \
                 (chunk_size, dict(mesh.shape))
             self._chunk_sharding = pmesh.batch_sharding(mesh)
             self._repl = pmesh.replicated(mesh)
+            # multi-host serving: every process runs score_flat over the SAME
+            # host data (the val split is replicated, as in the reference);
+            # each device_puts only its slice of every chunk and the global
+            # arrays are assembled without host-global staging
+            self._nproc = pmesh.mesh_process_count(mesh)
+            assert chunk_size % self._nproc == 0, (chunk_size, self._nproc)
 
         def fwd(params, batch, pmax):
             out = unimm.forward_eval(params, cfg, batch, dtype=dtype,
@@ -68,6 +75,12 @@ class RankingEvaluator:
             if need_lm:
                 res["ll_sum"] = -out["lm_nll_sum"]
                 res["ll_mean"] = -out["lm_nll_mean"]
+            if self._repl is not None and self._nproc > 1:
+                # replicate the tiny per-sequence score vectors so every
+                # process can fetch them (dp-sharded outputs are not
+                # addressable across hosts)
+                res = {k: jax.lax.with_sharding_constraint(v, self._repl)
+                       for k, v in res.items()}
             return res
 
         self._fwd = jax.jit(fwd, static_argnames="pmax")
@@ -100,8 +113,12 @@ class RankingEvaluator:
         pmax = self._label_bucket(flat)
 
         def put_img(v):
-            return (jax.device_put(v, self._repl)
-                    if self._repl is not None else jnp.asarray(v))
+            if self._repl is None:
+                return jnp.asarray(v)
+            if self._nproc > 1:
+                return jax.make_array_from_process_local_data(
+                    self._repl, np.asarray(v), np.asarray(v).shape)
+            return jax.device_put(v, self._repl)
 
         imgs = ({k: put_img(flat[k]) for k in _IMG_KEYS if k in flat}
                 if compact else {})
@@ -115,7 +132,16 @@ class RankingEvaluator:
                 chunk = {k: np.concatenate(
                     [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
                     chunk.items()}
-            if self._chunk_sharding is not None:
+            if self._chunk_sharding is not None and self._nproc > 1:
+                # contribute only this process's rows; the global chunk is
+                # assembled via make_array_from_process_local_data
+                from unimm_tpu.parallel import mesh as pmesh
+                k = self.chunk // self._nproc
+                r = jax.process_index()
+                chunk = pmesh.shard_batch(
+                    {key: v[r * k:(r + 1) * k] for key, v in chunk.items()},
+                    self.mesh)
+            elif self._chunk_sharding is not None:
                 chunk = {k: jax.device_put(v, self._chunk_sharding)
                          for k, v in chunk.items()}
             else:
