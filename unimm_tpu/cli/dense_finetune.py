@@ -89,6 +89,17 @@ def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
 def main(argv=None):
     params = options.read_command_line(argv)
     common.setup_jax(params)
+    import jax
+    if jax.process_count() > 1:
+        # the dense phase trains on ONE dialog's 100-option slate per step
+        # (reference dense_annotation_finetuning.py: batch_size 1 with
+        # batch_multiply accumulation) — there is nothing to shard across
+        # processes, and the loader here is intentionally not
+        # process-sharded. Fail loudly rather than silently duplicating the
+        # batch nproc times.
+        raise SystemExit(
+            "dense finetuning is single-process: global batch is one "
+            "100-option slate; scale with -batch_multiply, not processes")
     os.makedirs(params["save_path"], exist_ok=True)
     viz = MetricsLogger(os.path.join(params["save_path"], "logs"))
     cfg = common.build_config(params)

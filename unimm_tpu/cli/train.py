@@ -164,15 +164,20 @@ def main(argv=None):
                 break
 
         if epoch_id % params["save_every_epochs"] == 0:
-            C.save_native(os.path.join(params["save_path"], "native"),
-                          jax.device_get(state), iter_id)
-            C.save_reference_ckpt(
-                os.path.join(params["save_path"],
-                             f"visdial_dialog_encoder_{iter_id}.ckpt"),
-                jax.device_get(state["params"]), iter_id,
-                opt_state=state["opt_state"],
-                lang_set=C.language_param_set(lang) if lang else set(),
-                lr=params["lr"], image_lr=params["image_lr"])
+            # multi-process: gather shards so device_get works on this host,
+            # and only process 0 writes (shared filesystems would otherwise
+            # race on the same checkpoint files)
+            host_state = jax.device_get(pmesh.replicate_for_host(state, mesh))
+            if jax.process_index() == 0:
+                C.save_native(os.path.join(params["save_path"], "native"),
+                              host_state, iter_id)
+                C.save_reference_ckpt(
+                    os.path.join(params["save_path"],
+                                 f"visdial_dialog_encoder_{iter_id}.ckpt"),
+                    host_state["params"], iter_id,
+                    opt_state=host_state["opt_state"],
+                    lang_set=C.language_param_set(lang) if lang else set(),
+                    lr=params["lr"], image_lr=params["image_lr"])
 
         if epoch_id % params["eval_every_epochs"] == 0:
             dataset.split = "val"

@@ -24,6 +24,7 @@ epochs to refresh the corruption/negatives.
 from __future__ import annotations
 
 import json
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -67,6 +68,9 @@ class VisdialDataset:
         # negative-sampling truncation fallback (dataloader_visdial.py:178-183
         # quirk, replicated below) actually fires on this data
         self.stats = {"neg_truncation_fallbacks": 0}
+        # __getitem__ runs concurrently from DataLoader worker threads;
+        # a bare `+= 1` can drop increments under interleaving
+        self._stats_lock = threading.Lock()
 
         self.data = {}
         self.num_data_points = {}
@@ -181,7 +185,8 @@ class VisdialDataset:
                     chosen = self.tok.encode(
                         answers[utt["answer_options"][oi]])[: len(a)]
                     all_neg_inds.remove(oi)
-                    self.stats["neg_truncation_fallbacks"] += 1
+                    with self._stats_lock:
+                        self.stats["neg_truncation_fallbacks"] += 1
                 t = cur_rand.copy()
                 t.append(chosen)
                 negatives.append(t)

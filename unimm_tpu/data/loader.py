@@ -49,7 +49,14 @@ class DataLoader:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        m = (n + self.batch_size - 1) // self.batch_size
+        if self.process_count > 1:
+            # __iter__ drops a final partial batch smaller than the process
+            # count (it cannot be sharded across processes)
+            tail = n % self.batch_size
+            if tail and tail < self.process_count:
+                m -= 1
+        return m
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

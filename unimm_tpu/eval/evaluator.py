@@ -62,6 +62,13 @@ class RankingEvaluator:
             # arrays are assembled without host-global staging
             self._nproc = pmesh.mesh_process_count(mesh)
             assert chunk_size % self._nproc == 0, (chunk_size, self._nproc)
+            # each process's devices must own whole contiguous dp-row blocks
+            # (mp axes spanning processes would make the per-process chunk
+            # slice non-contiguous in dp order)
+            assert mesh.shape[pmesh.DP] % self._nproc == 0, \
+                ("multi-host serving requires the dp axis to span processes "
+                 "(mp must stay within a process)", dict(mesh.shape),
+                 self._nproc)
 
         def fwd(params, batch, pmax):
             out = unimm.forward_eval(params, cfg, batch, dtype=dtype,

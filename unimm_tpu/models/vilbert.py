@@ -119,13 +119,9 @@ def dropout(x, rate: float, train: bool, rng: _Rng):
     """
     if not train or rate == 0.0:
         return x
-    keep = 1.0 - rate
-    key = jnp.asarray(jax.random.key_data(rng.next()),
-                      jnp.uint32).reshape(-1)
-    key = jnp.concatenate([key, key])[:4]
-    _, bits = jax.lax.rng_bit_generator(key, x.shape, dtype=jnp.uint32)
-    thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
-    return jnp.where(bits < thresh, x / keep, jnp.zeros_like(x))
+    mask = dropout_scale_mask(rng.next(), x.shape, rate,
+                              jnp.promote_types(x.dtype, jnp.float32))
+    return (x * mask).astype(x.dtype)
 
 
 def dropout_seed(rng: _Rng):

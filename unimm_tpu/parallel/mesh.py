@@ -113,6 +113,16 @@ def mesh_process_count(mesh: Mesh) -> int:
     return len({d.process_index for d in mesh.devices.flat})
 
 
+def replicate_for_host(tree, mesh: Mesh):
+    """All-gather a (dp/mp-)sharded pytree to full replication so
+    ``jax.device_get`` is valid on every process (cross-host shards are not
+    addressable). No-op cost on a single process; at save cadence otherwise."""
+    if mesh_process_count(mesh) == 1:
+        return tree
+    r = replicated(mesh)
+    return jax.jit(lambda t: t, out_shardings=r)(tree)
+
+
 def shard_batch(batch, mesh: Mesh):
     """dp-shard each array's leading axis; arrays whose leading dim does not
     divide the dp axis (e.g. a 100-candidate dense slate on an 8-way mesh)
@@ -140,6 +150,16 @@ def shard_batch(batch, mesh: Mesh):
         if v.ndim >= 1 and gdim % dp == 0:
             return jax.make_array_from_process_local_data(
                 s, v, (gdim,) + v.shape[1:])
+        if v.ndim >= 1:
+            # the single-process fallback (replicate a non-divisible array)
+            # is UNSOUND here: each process holds different rows, and XLA
+            # assumes replicated operands are identical — silent divergence.
+            # Fail loudly instead.
+            raise ValueError(
+                f"multi-process shard_batch: array of local shape {v.shape} "
+                f"(global leading dim {gdim}) does not divide the dp axis "
+                f"({dp}); pad the per-process batch, or stage genuinely "
+                f"replicated arrays outside shard_batch")
         return jax.make_array_from_process_local_data(r, v, v.shape)
 
     return {k: put(v) for k, v in batch.items()}
