@@ -104,4 +104,22 @@ assert np.isfinite(scores["ll_sum"]).all()
 assert np.isfinite(scores["nsp_prob"]).all()
 print("EVAL", rank, [round(float(x), 4) for x in scores["ll_sum"]],
       flush=True)
+
+# ---- 4. multi-host checkpoint save: gather shards, rank 0 writes ----
+from unimm_tpu import checkpoint as C  # noqa: E402
+
+host_state = jax.device_get(pmesh.replicate_for_host(state, mesh))
+ckpt_path = sys.argv[4]
+if jax.process_index() == 0:
+    C.save_reference_ckpt(ckpt_path, host_state["params"], 1)
+print("SAVED", rank, int(jax.process_index() == 0), flush=True)
+
+# ---- 5. shard_batch multi-process guard: non-divisible must raise ----
+# (needs dp=4: on the dp=2 mesh every gdim = 2*local is divisible)
+mesh_dp4 = pmesh.make_mesh(2 * nproc, mp=1)
+try:
+    pmesh.shard_batch({"bad": np.zeros((1, 2), np.float32)}, mesh_dp4)
+    print("GUARD", rank, "'missing'", flush=True)
+except ValueError:
+    print("GUARD", rank, "'ok'", flush=True)
 print("WORKER_OK", rank, flush=True)

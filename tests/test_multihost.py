@@ -44,13 +44,14 @@ def _parse(stdout, tag, rank):
 
 
 @pytest.fixture(scope="module")
-def worker_outputs():
+def worker_outputs(tmp_path_factory):
     port = _free_port()
+    ckpt = str(tmp_path_factory.mktemp("mh") / "mh.ckpt")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own 2-device count
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(rank), "2", str(port)],
+        [sys.executable, WORKER, str(rank), "2", str(port), ckpt],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for rank in range(2)]
     outs = []
@@ -65,13 +66,13 @@ def worker_outputs():
     for rc, out, err in outs:
         assert rc == 0, err[-4000:]
         assert "WORKER_OK" in out
-    return outs
+    return outs, ckpt
 
 
 @pytest.mark.slow
 def test_loader_process_sharding_disjoint(worker_outputs):
-    l0 = _parse(worker_outputs[0][1], "LOADER", 0)
-    l1 = _parse(worker_outputs[1][1], "LOADER", 1)
+    l0 = _parse(worker_outputs[0][0][1], "LOADER", 0)
+    l1 = _parse(worker_outputs[0][1][1], "LOADER", 1)
     assert len(l0) == len(l1) == 2  # 16 items / global batch 8
     for b0, b1 in zip(l0, l1):
         assert len(b0) == len(b1) == 4  # half of the global batch each
@@ -82,8 +83,8 @@ def test_loader_process_sharding_disjoint(worker_outputs):
 
 @pytest.mark.slow
 def test_multiprocess_step_matches_single_process(worker_outputs):
-    m0 = _parse(worker_outputs[0][1], "METRICS", 0)
-    m1 = _parse(worker_outputs[1][1], "METRICS", 1)
+    m0 = _parse(worker_outputs[0][0][1], "METRICS", 0)
+    m1 = _parse(worker_outputs[0][1][1], "METRICS", 1)
     assert m0.keys() == m1.keys()
     for k in m0:
         assert abs(m0[k] - m1[k]) < 1e-6, (k, m0[k], m1[k])
@@ -119,8 +120,23 @@ def test_multiprocess_step_matches_single_process(worker_outputs):
 def test_multiprocess_eval_scores_agree(worker_outputs):
     """Multi-host sharded eval: per-process chunk slices assemble into the
     global batch, and the replicated score vectors agree across processes."""
-    e0 = _parse(worker_outputs[0][1], "EVAL", 0)
-    e1 = _parse(worker_outputs[1][1], "EVAL", 1)
+    e0 = _parse(worker_outputs[0][0][1], "EVAL", 0)
+    e1 = _parse(worker_outputs[0][1][1], "EVAL", 1)
     assert len(e0) == len(e1) == 8
     import numpy as np
     np.testing.assert_allclose(e0, e1, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_multiprocess_save_and_guard(worker_outputs):
+    """Rank 0 alone writes the gathered checkpoint (replicate_for_host), and
+    the multi-process shard_batch guard rejects non-divisible arrays."""
+    outs, ckpt = worker_outputs
+    assert _parse(outs[0][1], "SAVED", 0) == 1
+    assert _parse(outs[1][1], "SAVED", 1) == 0
+    assert _parse(outs[0][1], "GUARD", 0) == "ok"
+    assert _parse(outs[1][1], "GUARD", 1) == "ok"
+    assert os.path.exists(ckpt)
+    import torch
+    blob = torch.load(ckpt, map_location="cpu", weights_only=False)
+    assert blob["iter_id"] == 1 and "model_state_dict" in blob
