@@ -302,3 +302,50 @@ def test_fused_co_text_block_matches_xla():
                                  num_heads=H, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("shape", [(3, 2, 32, 16), (2, 4, 64, 16),
+                                   (5, 2, 48, 32)])
+def test_train_vjp_grads_fuzz_shapes(shape):
+    """Direct grad parity of fused_attention_block_train vs the XLA chain
+    (dropout off) over head-count/head-dim/length variations."""
+    B, H, L, D = shape
+    HID = H * D
+    rng = np.random.default_rng(hash(shape) % 2 ** 31)
+    x = jnp.asarray(rng.normal(size=(B, L, HID)), jnp.float32)
+    mode, ctx, ans = _desc(rng, B, L)
+    desc = jnp.asarray(np.stack([mode, ctx, ans], axis=-1))
+    seed = jnp.array([3], jnp.int32)
+    m_o = jnp.ones((B, L, HID), jnp.float32)
+    p = vilbert._init_attention(jax.random.PRNGKey(L + H), HID, 0.02)
+    bias = masks.text_self_bias(jnp.asarray(mode), jnp.asarray(ctx),
+                                jnp.asarray(ans), L, jnp.float32)
+
+    def ref_fn(x, p):
+        out = vilbert.self_attention_block(
+            p, x, bias, num_heads=H, attn_drop=0.0, hidden_drop=0.0,
+            train=False, rng=None)
+        return jnp.sum(out * jnp.sin(out))
+
+    def fused_fn(x, p):
+        ps, po = p["self"], p["output"]
+        out = v2.fused_attention_block_train(
+            H, 0.0, True, x, desc, seed, m_o,
+            ps["query"]["kernel"], ps["query"]["bias"],
+            ps["key"]["kernel"], ps["key"]["bias"],
+            ps["value"]["kernel"], ps["value"]["bias"],
+            po["dense"]["kernel"], po["dense"]["bias"],
+            po["LayerNorm"]["weight"], po["LayerNorm"]["bias"])
+        return jnp.sum(out * jnp.sin(out))
+
+    (v_r, g_r), (v_f, g_f) = (jax.value_and_grad(f, argnums=(0, 1))(x, p)
+                              for f in (ref_fn, fused_fn))
+    # the loss is an unnormalized fp32 sum over B*L*HID elements — compare
+    # relative to its magnitude, not absolutely
+    assert abs(float(v_r) - float(v_f)) < 1e-5 * max(1.0, abs(float(v_r)))
+    for a, b in zip(jax.tree_util.tree_leaves(g_r[1]),
+                    jax.tree_util.tree_leaves(g_f[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(g_r[0]), np.asarray(g_f[0]),
+                               rtol=5e-5, atol=5e-5)
