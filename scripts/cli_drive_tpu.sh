@@ -14,25 +14,16 @@ export PYTHONPATH=$REPO:/root/.axon_site
 mkdir -p $W
 
 python - <<PY
-import json, os, sys
-import numpy as np
+import os, sys
 sys.path.insert(0, "$REPO")
 from tests import fixtures
 root = "$D"
 os.makedirs(root, exist_ok=True)
-rng = np.random.default_rng(0)
-paths, tok, _ = fixtures.write_fixture_tree(root, n_train=6, n_val=3, n_test=2)
-blobs = [json.load(open(paths[f"visdial_processed_{n}"]))
-         for n in ("train", "val", "test")]
-ids = [d["image_id"] for b in blobs for d in b["data"]["dialogs"]]
-recs = fixtures.make_feature_records(rng, ids, feat_dim=2048, n_classes=1601)
-arrays = {}
-for i, rec in recs.items():
-    arrays[f"{i}_features"] = rec["features"]
-    arrays[f"{i}_boxes"] = rec["boxes"]
-    arrays[f"{i}_cls_prob"] = rec["cls_prob"]
-    arrays[f"{i}_hw"] = np.asarray([rec["image_h"], rec["image_w"]], np.int32)
-np.savez(os.path.join(root, "features2048.npz"), **arrays)
+# flagship-sized features (the model config expects 2048-dim, 1601 classes)
+fixtures.write_fixture_tree(root, n_train=6, n_val=3, n_test=2,
+                            feat_dim=2048, n_classes=1601)
+os.replace(os.path.join(root, "features.npz"),
+           os.path.join(root, "features2048.npz"))
 print("fixture tree ready:", root)
 PY
 
@@ -63,7 +54,7 @@ python -m unimm_tpu.cli.val_lm $COMMON \
 # reference's own cadence, iter % epoch == 0 && iter > 0)
 python -m unimm_tpu.cli.dense_finetune $COMMON \
   -start_path $W/ckpt/drive/visdial_dialog_encoder_1.ckpt \
-  -batch_multiply 2 -num_epochs 1 -overfit -remat 1 -num_options 25 \
+  -batch_multiply 2 -num_epochs 1 -overfit -remat 1 \
   -eval_every_epochs 100 -save_every_epochs 1 \
   -save_path $W/ckpt_dense -save_name dense
 echo "CLI DRIVE OK: $(ls $W/drive_val_predictions.txt)"

@@ -98,6 +98,11 @@ ev = RankingEvaluator(cfg, chunk_size=4, dtype=jnp.float32,
 eval_full = {k: np.asarray(v)
              for k, v in _synthetic_batch(np.random.default_rng(7), cfg,
                                           8).items()}
+# exercise the COMPACT image path (the production evaluate_split layout):
+# 2 unique images stored once, img_index maps each sequence to its image
+for key in ("image_feat", "image_loc", "image_mask"):
+    eval_full[key] = eval_full[key][:2]
+eval_full["img_index"] = np.repeat(np.arange(2, dtype=np.int32), 4)
 scores = ev.score_flat(state["params"], eval_full)
 assert scores["ll_sum"].shape == (8,)
 assert np.isfinite(scores["ll_sum"]).all()
@@ -108,7 +113,7 @@ print("EVAL", rank, [round(float(x), 4) for x in scores["ll_sum"]],
 # ---- 4. multi-host checkpoint save: gather shards, rank 0 writes ----
 from unimm_tpu import checkpoint as C  # noqa: E402
 
-host_state = jax.device_get(pmesh.replicate_for_host(state, mesh))
+host_state = pmesh.gather_to_host(state, mesh)
 ckpt_path = sys.argv[4]
 if jax.process_index() == 0:
     C.save_reference_ckpt(ckpt_path, host_state["params"], 1)

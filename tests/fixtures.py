@@ -87,7 +87,21 @@ def make_feature_records(rng, image_ids, feat_dim=2048, n_classes=1601,
     return records
 
 
-def write_fixture_tree(root, n_train=6, n_val=3, n_test=2, seed=0):
+def write_feature_npz(records, npz_path):
+    """Export feature records to the pickle-free .npz layout the
+    NpzFeatureReader parses ('<id>_features/_boxes/_cls_prob/_hw')."""
+    arrays = {}
+    for i, rec in records.items():
+        arrays[f"{i}_features"] = rec["features"]
+        arrays[f"{i}_boxes"] = rec["boxes"]
+        arrays[f"{i}_cls_prob"] = rec["cls_prob"]
+        arrays[f"{i}_hw"] = np.asarray([rec["image_h"], rec["image_w"]],
+                                       np.int32)
+    np.savez(npz_path, **arrays)
+
+
+def write_fixture_tree(root, n_train=6, n_val=3, n_test=2, seed=0,
+                       feat_dim=64, n_classes=32):
     """Write a full synthetic data tree + params dict pointing at it."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
@@ -130,18 +144,12 @@ def write_fixture_tree(root, n_train=6, n_val=3, n_test=2, seed=0):
     image_ids = ([d["image_id"] for d in train["data"]["dialogs"]] +
                  [d["image_id"] for d in val["data"]["dialogs"]] +
                  [d["image_id"] for d in test["data"]["dialogs"]])
-    records = make_feature_records(rng, image_ids, feat_dim=64, n_classes=32)
+    records = make_feature_records(rng, image_ids, feat_dim=feat_dim,
+                                   n_classes=n_classes)
 
     # also write an .npz so CLIs can be driven from a real shell command
-    arrays = {}
-    for i, rec in records.items():
-        arrays[f"{i}_features"] = rec["features"]
-        arrays[f"{i}_boxes"] = rec["boxes"]
-        arrays[f"{i}_cls_prob"] = rec["cls_prob"]
-        arrays[f"{i}_hw"] = np.asarray([rec["image_h"], rec["image_w"]],
-                                       np.int32)
     npz_path = os.path.join(root, "features.npz")
-    np.savez(npz_path, **arrays)
+    write_feature_npz(records, npz_path)
     paths["visdial_image_feats"] = npz_path
     return paths, tok, DictFeatureReader(records)
 

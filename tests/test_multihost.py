@@ -129,7 +129,7 @@ def test_multiprocess_eval_scores_agree(worker_outputs):
 
 @pytest.mark.slow
 def test_multiprocess_save_and_guard(worker_outputs):
-    """Rank 0 alone writes the gathered checkpoint (replicate_for_host), and
+    """Rank 0 alone writes the gathered checkpoint (gather_to_host), and
     the multi-process shard_batch guard rejects non-divisible arrays."""
     outs, ckpt = worker_outputs
     assert _parse(outs[0][1], "SAVED", 0) == 1

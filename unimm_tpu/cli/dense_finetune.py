@@ -89,7 +89,6 @@ def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
 def main(argv=None):
     params = options.read_command_line(argv)
     common.setup_jax(params)
-    import jax
     if jax.process_count() > 1:
         # the dense phase trains on ONE dialog's 100-option slate per step
         # (reference dense_annotation_finetuning.py: batch_size 1 with

@@ -164,10 +164,10 @@ def main(argv=None):
                 break
 
         if epoch_id % params["save_every_epochs"] == 0:
-            # multi-process: gather shards so device_get works on this host,
-            # and only process 0 writes (shared filesystems would otherwise
-            # race on the same checkpoint files)
-            host_state = jax.device_get(pmesh.replicate_for_host(state, mesh))
+            # multi-process: gather shards (leaf-wise, to host) so the full
+            # state is never replicated on device, and only process 0 writes
+            # (shared filesystems would otherwise race on the same files)
+            host_state = pmesh.gather_to_host(state, mesh)
             if jax.process_index() == 0:
                 C.save_native(os.path.join(params["save_path"], "native"),
                               host_state, iter_id)

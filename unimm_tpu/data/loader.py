@@ -47,14 +47,15 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        m = (n + self.batch_size - 1) // self.batch_size
+        full = n // self.batch_size
+        tail = n % self.batch_size
+        m = full + (1 if (tail and not self.drop_last) else 0)
         if self.process_count > 1:
-            # __iter__ drops a final partial batch smaller than the process
-            # count (it cannot be sharded across processes)
-            tail = n % self.batch_size
-            if tail and tail < self.process_count:
+            # __iter__ drops every batch smaller than the process count
+            # (it cannot contribute a row from each process)
+            if self.batch_size < self.process_count:
+                return 0
+            if tail and not self.drop_last and tail < self.process_count:
                 m -= 1
         return m
 

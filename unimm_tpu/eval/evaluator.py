@@ -281,5 +281,9 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
 
 
 def dump_ranks(ranks: list, path: str):
+    # multi-host serving: every process computes identical ranks from the
+    # replicated scores; only process 0 writes (shared-filesystem race)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     with open(path, "w") as f:
         json.dump(ranks, f)

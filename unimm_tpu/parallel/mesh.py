@@ -19,6 +19,7 @@ parameter updates.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -113,14 +114,23 @@ def mesh_process_count(mesh: Mesh) -> int:
     return len({d.process_index for d in mesh.devices.flat})
 
 
-def replicate_for_host(tree, mesh: Mesh):
-    """All-gather a (dp/mp-)sharded pytree to full replication so
-    ``jax.device_get`` is valid on every process (cross-host shards are not
-    addressable). No-op cost on a single process; at save cadence otherwise."""
+@functools.lru_cache(maxsize=8)
+def _gather_fn(mesh: Mesh):
+    return jax.jit(lambda x: x, out_shardings=replicated(mesh))
+
+
+def gather_to_host(tree, mesh: Mesh):
+    """Fetch a (dp/mp-)sharded pytree to host numpy on every process
+    (cross-host shards are not directly addressable to ``device_get``).
+
+    Gathers LEAF BY LEAF so at most one leaf is ever fully replicated on
+    device at a time — replicating a whole mp-sharded train state (params +
+    both Adam moments) at once would OOM exactly the sharded-model case mp
+    exists for. The jitted identity-gather is cached per mesh."""
     if mesh_process_count(mesh) == 1:
-        return tree
-    r = replicated(mesh)
-    return jax.jit(lambda t: t, out_shardings=r)(tree)
+        return jax.device_get(tree)
+    g = _gather_fn(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_get(g(x)), tree)
 
 
 def shard_batch(batch, mesh: Mesh):
