@@ -105,6 +105,9 @@ def main():
         "value": round(dialogs_per_sec, 4),
         "unit": "dialogs/s/chip",
         "vs_baseline": round(dialogs_per_sec / BASELINE_DIALOGS_PER_SEC_PER_CHIP, 2),
+        # the reference publishes no throughput number; the baseline is the
+        # documented FLOPs-model estimate above, not a measurement
+        "baseline_basis": "flops-model-estimate",
         "detail": {"seq_per_sec": round(seq_per_sec, 1), "batch": B,
                    "repeats_seq_per_sec": [round(r, 1) for r in repeats],
                    "backend": jax.devices()[0].platform},

@@ -60,8 +60,11 @@ class VilbertConfig:
     #   "pallas"       — per-head fused kernel with in-kernel mask generation
     #                    (custom VJP; usable in training when dropout == 0)
     #   "pallas_block" — whole-sub-block kernels (QKV proj + attention +
-    #                    out proj + residual + LN, and the fused FFN); eval
-    #                    only — grad paths fall back to "pallas"/"xla"
+    #                    out proj + residual + LN, and the fused FFN) on eval
+    #                    paths; training goes through the differentiable
+    #                    block kernel (custom VJP, in-kernel prob dropout —
+    #                    unimm.encode use_block_train), falling back to XLA
+    #                    only under CPU interpret with attention dropout > 0
     attention_impl: str = "xla"
     # under "pallas_block": also route text-stream FFNs (incl. the co-attn
     # layers' t-FFNs) through the fused FFN kernel. Ties XLA in isolation

@@ -29,7 +29,15 @@ class DataLoader:
         shuffle from the shared seed, then loads only its slice of each
         global batch — the per-process rows that
         jax.make_array_from_process_local_data assembles into the global
-        batch (parallel/mesh.shard_batch)."""
+        batch (parallel/mesh.shard_batch).
+
+        NOTE (multi-process + drop_last=False): a kept tail batch's global
+        size is (tail // process_count) * process_count, which need not
+        divide the mesh dp axis — mesh.shard_batch fails loudly on such a
+        batch rather than silently diverging. Multi-process loaders that
+        feed shard_batch directly should use drop_last=True (the CLIs do)
+        or a dp-divisible batch size; the sharded evaluator is safe (it
+        re-chunks into fixed padded chunks)."""
         from unimm_tpu.data.dataset import collate
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,6 +52,7 @@ class DataLoader:
                                                     process_count)
         self.process_index = process_index
         self.process_count = process_count
+        self.dropped_rows = 0   # rows lost to process-sharding, per epoch
 
     def __len__(self):
         n = len(self.dataset)
@@ -73,16 +82,33 @@ class DataLoader:
                    for i in range(0, n, self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        self.dropped_rows = 0
         if self.process_count > 1:
             # per-process shard of each global batch: contiguous slice in
             # process order (= the rows this process's addressable devices
             # own under a dp NamedSharding built from jax.devices() order);
-            # trim so every process contributes the same count
+            # trim so every process contributes the same count. Rows lost to
+            # the trim (tail % process_count) or to skipped sub-process-count
+            # tail batches are COUNTED and warned about — for a val split a
+            # dropped row is a dialog that is never scored.
+            kept = [b for b in batches if len(b) >= self.process_count]
+            self.dropped_rows = (
+                sum(len(b) for b in batches) - sum(
+                    (len(b) // self.process_count) * self.process_count
+                    for b in kept))
+            if self.dropped_rows and self.process_index == 0:
+                import warnings
+                warnings.warn(
+                    f"DataLoader(process_count={self.process_count}): "
+                    f"{self.dropped_rows} tail row(s) dropped this epoch "
+                    f"(global batch not divisible by the process count); "
+                    f"use drop_last=True or a divisible batch size if every "
+                    f"row must be consumed", stacklevel=2)
+
             def shard(b):
                 k = len(b) // self.process_count
                 return b[self.process_index * k:(self.process_index + 1) * k]
-            batches = [shard(b) for b in batches if
-                       len(b) >= self.process_count]
+            batches = [shard(b) for b in kept]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

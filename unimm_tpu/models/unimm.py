@@ -126,10 +126,13 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
         from unimm_tpu.ops import pallas_attention_v2 as pattn2
 
         def text_fused_block_train(p_attn, x, r):
+            # fp32 mask so the 1/keep scale matches the XLA dropout path
+            # exactly (the kernel consumes m_o in fp32 either way)
             m_o = (vilbert.dropout_scale_mask(
-                       r.next(), x.shape, cfg.hidden_dropout_prob, x.dtype)
+                       r.next(), x.shape, cfg.hidden_dropout_prob,
+                       jnp.float32)
                    if cfg.hidden_dropout_prob > 0
-                   else jnp.ones_like(x))
+                   else jnp.ones(x.shape, jnp.float32))
             seed = vilbert.dropout_seed(r)
             ps, po = p_attn["self"], p_attn["output"]
             return pattn2.fused_attention_block_train(
