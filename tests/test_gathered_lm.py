@@ -132,3 +132,61 @@ def test_label_budget_overflow_metric():
     step = tstep.make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
     _, metrics = step(state, batch, jnp.asarray([1.0, 1.0]))
     assert int(metrics["label_budget_overflow"]) == 2
+
+
+def test_label_overflow_fallback_policies():
+    """make_train_step_with_fallback: an overflowing batch must route through
+    the exact dense path (policy='dense'), raise (policy='error'), and a
+    non-overflowing batch must stay on the gathered step."""
+    from unimm_tpu.train import optim, step as tstep
+
+    # deterministic config so the dense-routed step is bit-comparable to a
+    # step built with mlm_loss_impl='dense' directly
+    cfg = TINY.replace(max_train_label_positions=4, mlm_loss_impl="gathered",
+                       hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0,
+                       v_hidden_dropout_prob=0.0,
+                       v_attention_probs_dropout_prob=0.0)
+    params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    batch = _train_batch(rng, cfg)           # 8 labels/seq > budget 4
+    tx = optim.make_optimizer(params, optim.OptimConfig())
+    state = tstep.init_state(params, tx)
+    nw = jnp.asarray([1.0, 1.0])
+    host_labels = np.asarray(batch["mlm_labels"])
+
+    # policy='dense': equals a step compiled with the dense impl
+    step_fb = tstep.make_train_step_with_fallback(
+        cfg, tx, policy="dense", dtype=jnp.float32, donate=False)
+    _, m_fb = step_fb(state, batch, nw, host_mlm_labels=host_labels)
+    step_dense = tstep.make_train_step(cfg.replace(mlm_loss_impl="dense"),
+                                       tx, dtype=jnp.float32, donate=False)
+    _, m_dense = step_dense(state, batch, nw)
+    for k in ("loss", "lm_loss"):
+        np.testing.assert_allclose(float(m_fb[k]), float(m_dense[k]),
+                                   rtol=1e-6, err_msg=k)
+    # ...and differs from the silently-truncating gathered step
+    step_g = tstep.make_train_step(cfg, tx, dtype=jnp.float32, donate=False)
+    _, m_g = step_g(state, batch, nw)
+    assert abs(float(m_g["lm_loss"]) - float(m_fb["lm_loss"])) > 1e-4
+
+    # policy='error': raises instead of truncating
+    step_err = tstep.make_train_step_with_fallback(
+        cfg, tx, policy="error", dtype=jnp.float32, donate=False)
+    try:
+        step_err(state, batch, nw, host_mlm_labels=host_labels)
+        raise AssertionError("expected ValueError on overflow")
+    except ValueError:
+        pass
+
+    # no overflow: identical to the plain gathered step (host_labels omitted
+    # exercises the addressable-fetch path)
+    ok_labels = np.full_like(host_labels, -1)
+    ok_labels[:, 10:13] = 7
+    ok_batch = dict(batch, mlm_labels=jnp.asarray(ok_labels),
+                    lm_weight=jnp.asarray(
+                        (ok_labels != -1).astype(np.float32)))
+    _, m_ok = step_fb(state, ok_batch, nw)
+    _, m_ok_plain = step_g(state, ok_batch, nw)
+    np.testing.assert_allclose(float(m_ok["loss"]), float(m_ok_plain["loss"]),
+                               rtol=1e-6)

@@ -37,9 +37,17 @@ from unimm_tpu.utils.logging import MetricsLogger
 
 
 def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
-                    dtype=jnp.bfloat16):
+                    dtype=jnp.bfloat16, mesh=None, n_real=100):
     """One jitted step: forward + (rank + lm + nsp) loss + update.
-    batch is flat [100, ...]; gt_relevance [100] (already permuted)."""
+
+    batch is flat [S, ...] where S >= n_real: the first ``n_real`` rows are
+    the (already GT-first-permuted) option slate and rows beyond are padding
+    added so S divides the mesh dp axis — the TPU-native replacement for the
+    reference's uneven 100 -> 25/25/25/25 GPU scatter tables
+    (/root/reference/utils/data_parallel.py:16-57,91-132). Padding rows carry
+    lm_weight 0 / mlm_labels -1 (zero LM contribution) and are statically
+    sliced away before the nsp and rank losses; gt_relevance stays [n_real].
+    """
 
     def step(state, batch, gt_relevance):
         rng = jax.random.fold_in(state["rng"], state["step"])
@@ -47,13 +55,16 @@ def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
         def loss_fn(params):
             r_enc, r_head = jax.random.split(rng)
             t_seq, v_seq, pt, pv = unimm.encode(
-                params, cfg, batch, train=True, rng=r_enc, dtype=dtype)
+                params, cfg, batch, train=True, rng=r_enc, dtype=dtype,
+                mesh=mesh)
             # gathered path avoids the [100, 256, 30522] logits (~12GB fp32
             # with gradients); honors cfg.mlm_loss_impl like forward_train
             lm, img_logits, nsp_logits = unimm.lm_loss_and_heads(
                 params, cfg, t_seq, v_seq, pt, pv, batch, train=True,
                 rng=r_head)
-            nsp = L.nsp_loss(nsp_logits, batch["next_sentence_label"], None)
+            nsp_logits = nsp_logits[:n_real]
+            nsp = L.nsp_loss(nsp_logits,
+                             batch["next_sentence_label"][:n_real], None)
             nsp_probs = jax.nn.softmax(
                 nsp_logits.astype(jnp.float32), axis=-1)[:, 0]
             rank = RL.neuralNDCG_transposed(nsp_probs[None, :],
@@ -89,16 +100,6 @@ def make_dense_step(cfg: VilbertConfig, tx, *, nsp_coeff=1.0,
 def main(argv=None):
     params = options.read_command_line(argv)
     common.setup_jax(params)
-    if jax.process_count() > 1:
-        # the dense phase trains on ONE dialog's 100-option slate per step
-        # (reference dense_annotation_finetuning.py: batch_size 1 with
-        # batch_multiply accumulation) — there is nothing to shard across
-        # processes, and the loader here is intentionally not
-        # process-sharded. Fail loudly rather than silently duplicating the
-        # batch nproc times.
-        raise SystemExit(
-            "dense finetuning is single-process: global batch is one "
-            "100-option slate; scale with -batch_multiply, not processes")
     os.makedirs(params["save_path"], exist_ok=True)
     viz = MetricsLogger(os.path.join(params["save_path"], "logs"))
     cfg = common.build_config(params)
@@ -117,6 +118,22 @@ def main(argv=None):
 
     mesh = pmesh.make_mesh(common.mesh_device_count(params),
                            mp=params["mesh_mp"])
+    nproc, rank = jax.process_count(), jax.process_index()
+    dp = mesh.shape[pmesh.DP]
+    if nproc > 1 and dp % nproc != 0:
+        # every process loads the SAME dialog (the loader is deliberately not
+        # process-sharded: the global batch IS one option slate) and
+        # contributes a contiguous dp-row block of it — an mp axis spanning
+        # processes would make that block non-contiguous in dp order
+        raise SystemExit(
+            "multi-process dense finetuning requires the dp axis to span "
+            f"processes (dp={dp} % nproc={nproc} != 0); lower -mesh_mp")
+    # dense slate padded up to the next dp-divisible size: the dp-sharded
+    # replacement for the reference's 100 -> 25/25/25/25 scatter tables
+    # (utils/data_parallel.py:16-57). On an 8-way mesh this is 100 -> 104
+    # (4% padded compute) instead of 8x replicated compute.
+    n_slate = 100
+    S = -(-n_slate // dp) * dp if dp > 1 else n_slate
     model_params = common.init_model(params, cfg)
     model_params, _ = pmesh.shard_params(model_params, mesh)
     lang = None
@@ -129,7 +146,9 @@ def main(argv=None):
              "step": jnp.zeros((), jnp.int32),
              "rng": jax.random.PRNGKey(params["seed"])}
     dense_step = make_dense_step(cfg, tx, nsp_coeff=params["nsp_loss_coeff"],
-                                 dtype=common.compute_dtype(params))
+                                 dtype=common.compute_dtype(params),
+                                 mesh=mesh if mesh.size > 1 else None,
+                                 n_real=n_slate)
 
     host_rng = np.random.default_rng(params["seed"])
     start_t = time.perf_counter()
@@ -148,6 +167,22 @@ def main(argv=None):
              for k, v in batch.items() if k not in
              ("gt_relevance", "gt_option", "round_id", "image_id")})
         gt_rel = np.asarray(batch["gt_relevance"][0])[order]
+        if S > n_slate:
+            # pad with copies of the GT row, neutralised: lm_weight 0 and
+            # labels -1 (zero LM term); nsp/rank are sliced to [:n_real] in
+            # the step, so pad-row logits never reach a loss
+            pad = S - n_slate
+            flat = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                    for k, v in flat.items()}
+            if "lm_weight" in flat:
+                flat["lm_weight"][n_slate:] = 0.0
+            flat["mlm_labels"][n_slate:] = -1
+        if nproc > 1:
+            # contiguous per-process block of the padded slate; shard_batch
+            # reassembles via make_array_from_process_local_data
+            k_loc = S // nproc
+            flat = {k: v[rank * k_loc:(rank + 1) * k_loc]
+                    for k, v in flat.items()}
         flat = pmesh.shard_batch(flat, mesh)
         state, parts = dense_step(state, flat, jnp.asarray(gt_rel))
 

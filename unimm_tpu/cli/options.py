@@ -107,6 +107,12 @@ def read_command_line(argv=None) -> dict:
                         help='write a jax.profiler trace of steps 10-14 here '
                              '(the reference has no profiling at all, '
                              'SURVEY §5)')
+    parser.add_argument('-label_overflow_policy', default='dense',
+                        choices=['dense', 'error', 'allow'],
+                        help='gathered-MLM label-budget overflow handling: '
+                             'route the batch through the exact dense-logits '
+                             'step, raise, or allow silent truncation '
+                             '(telemetry counts it either way)')
     parser.add_argument('-attention_impl', default='pallas_block',
                         choices=['xla', 'pallas', 'pallas_block'],
                         help='text self-attention backend: XLA bias path, '

@@ -114,10 +114,12 @@ def main(argv=None):
         start_iter = int(np.asarray(state["step"]))
         print(f"restored native checkpoint at step {start_iter}")
 
-    train_step = tstep.make_train_step(
-        cfg, tx, lm_coeff=params["lm_loss_coeff"],
+    train_step = tstep.make_train_step_with_fallback(
+        cfg, tx, policy=params["label_overflow_policy"],
+        lm_coeff=params["lm_loss_coeff"],
         nsp_coeff=params["nsp_loss_coeff"], img_coeff=params["img_loss_coeff"],
-        dtype=common.compute_dtype(params))
+        dtype=common.compute_dtype(params),
+        mesh=mesh if mesh.size > 1 else None)
     nsp_weight = jnp.asarray([float(params["num_negative_samples"]), 1.0])
 
     # per-process share of the global sequence batch (flatten subsamples the
@@ -139,8 +141,10 @@ def main(argv=None):
             flat = flatten_for_forward(batch, sample_size=sample_size,
                                        rng=host_rng,
                                        compact_images=(nproc == 1))
+            host_labels = flat["mlm_labels"]
             flat = pmesh.shard_batch(flat, mesh)
-            state, metrics = train_step(state, flat, nsp_weight)
+            state, metrics = train_step(state, flat, nsp_weight,
+                                        host_mlm_labels=host_labels)
 
             if iter_id % 100 == 0:
                 m = {k: float(v) for k, v in metrics.items()}

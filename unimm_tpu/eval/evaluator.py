@@ -73,7 +73,7 @@ class RankingEvaluator:
         def fwd(params, batch, pmax):
             out = unimm.forward_eval(params, cfg, batch, dtype=dtype,
                                      need_lm=need_lm, need_nsp=need_nsp,
-                                     max_label_positions=pmax)
+                                     max_label_positions=pmax, mesh=mesh)
             res = {}
             if need_nsp:
                 # P(next) = softmax(logits)[:, 0]  (train.py:261-263)

@@ -62,14 +62,50 @@ def expand_images(batch):
     return out
 
 
+def _shard_map_dp(mesh, fn, n_batch: int):
+    """shard_map ``fn`` over the mesh's dp axis.
+
+    The first ``n_batch`` positional args are batch-leading (split on dim 0
+    across dp); the rest (weights, scalars) are replicated. This makes the
+    partitioning of the Pallas custom calls EXPLICIT — XLA's GSPMD has no
+    SPMD rule for custom calls and would otherwise all-gather the batch
+    around each kernel on a real multi-chip mesh (ROADMAP "GSPMD x Pallas").
+    Weight cotangents are psum-reduced across dp by shard_map's transpose,
+    so the wrap is differentiation-safe (tested vs the unsharded path in
+    tests/test_shard_kernels.py)."""
+    from unimm_tpu.parallel.mesh import DP
+    from jax.sharding import PartitionSpec
+    dp, rep = PartitionSpec(DP), PartitionSpec()
+
+    def wrapped(*args):
+        specs = tuple(dp if i < n_batch else rep for i in range(len(args)))
+        return jax.shard_map(fn, mesh=mesh, in_specs=specs, out_specs=dp,
+                             check_vma=False)(*args)
+
+    return wrapped
+
+
+def _kernel_mesh(mesh, n_rows: int):
+    """The mesh to shard_map kernels over, or None to rely on GSPMD:
+    requires a dp axis > 1 that divides the batch row count."""
+    if mesh is None:
+        return None
+    from unimm_tpu.parallel.mesh import DP
+    dp = mesh.shape.get(DP, 1) if hasattr(mesh.shape, "get") else dict(
+        mesh.shape).get(DP, 1)
+    return mesh if dp > 1 and n_rows % dp == 0 else None
+
+
 def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
-           dtype=jnp.float32):
+           dtype=jnp.float32, mesh=None):
     """Run the two-stream encoder from a descriptor batch.
 
     batch keys: tokens [B,L] int32, segments [B,L] int32, mode/ctx_end/ans_len
     [B] int32, image_feat [B,R,2048], image_loc [B,R,5], image_mask [B,R].
     Optional: positions [B,L] override; img_index [B] for compact per-image
     feature storage (see expand_images).
+    ``mesh``: optional jax.sharding.Mesh — Pallas kernel calls are wrapped in
+    jax.shard_map over its dp axis (explicit partitioning; see _shard_map_dp).
     Returns (t_seq, v_seq, pooled_t, pooled_v).
     """
     batch = expand_images(batch)
@@ -100,30 +136,60 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
             [jnp.asarray(batch["mode"], jnp.int32),
              jnp.asarray(batch["ctx_end"], jnp.int32),
              jnp.asarray(batch["ans_len"], jnp.int32)], axis=-1)
+        smesh = _kernel_mesh(mesh, batch["tokens"].shape[0])
     if use_block:
         from unimm_tpu.ops import pallas_attention_v2 as pattn2
 
-        def text_fused_block(p_attn, x):
+        def _block(x, d, p_attn):
             return pattn2.fused_attention_block(
-                x, desc, p_attn, num_heads=cfg.num_attention_heads,
+                x, d, p_attn, num_heads=cfg.num_attention_heads,
                 interpret=interpret)
 
+        _block_c = _shard_map_dp(smesh, _block, 2) if smesh else _block
+
+        def text_fused_block(p_attn, x):
+            return _block_c(x, desc, p_attn)
+
         if cfg.fused_ffn:
-            def text_fused_ffn(p_inter, p_out, x):
+            def _ffn(x, p_inter, p_out):
                 return pattn2.fused_ffn_block(
                     x, p_inter, p_out, act=cfg.hidden_act,
                     interpret=interpret)
 
+            _ffn_c = _shard_map_dp(smesh, _ffn, 1) if smesh else _ffn
+
+            def text_fused_ffn(p_inter, p_out, x):
+                return _ffn_c(x, p_inter, p_out)
+
         if cfg.fused_co:
             imask = jnp.asarray(batch["image_mask"])
 
-            def text_fused_co(p_conn, v_x, t_x):
+            def _co(t_x, v_x, im, p_conn):
                 return pattn2.fused_co_text_block(
-                    t_x, v_x, imask, p_conn,
+                    t_x, v_x, im, p_conn,
                     num_heads=cfg.bi_num_attention_heads,
                     interpret=interpret)
+
+            _co_c = _shard_map_dp(smesh, _co, 3) if smesh else _co
+
+            def text_fused_co(p_conn, v_x, t_x):
+                return _co_c(t_x, v_x, imask, p_conn)
     elif use_block_train:
         from unimm_tpu.ops import pallas_attention_v2 as pattn2
+
+        def _bt(x, d, m_o, seed, *ws):
+            if smesh is not None:
+                # decorrelate the in-kernel prob-dropout stream per dp shard:
+                # the kernel seeds per LOCAL (sequence, head) tag, which
+                # repeats across shards under shard_map
+                from unimm_tpu.parallel.mesh import DP
+                seed = seed + jax.lax.axis_index(DP).astype(
+                    jnp.int32) * jnp.int32(1000003)
+            return pattn2.fused_attention_block_train(
+                cfg.num_attention_heads, cfg.attention_probs_dropout_prob,
+                interpret, x, d, seed, m_o, *ws)
+
+        _bt_c = _shard_map_dp(smesh, _bt, 3) if smesh else _bt
 
         def text_fused_block_train(p_attn, x, r):
             # fp32 mask so the 1/keep scale matches the XLA dropout path
@@ -135,9 +201,8 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
                    else jnp.ones(x.shape, jnp.float32))
             seed = vilbert.dropout_seed(r)
             ps, po = p_attn["self"], p_attn["output"]
-            return pattn2.fused_attention_block_train(
-                cfg.num_attention_heads, cfg.attention_probs_dropout_prob,
-                interpret, x, desc, seed, m_o,
+            return _bt_c(
+                x, desc, m_o, seed,
                 ps["query"]["kernel"], ps["query"]["bias"],
                 ps["key"]["kernel"], ps["key"]["bias"],
                 ps["value"]["kernel"], ps["value"]["bias"],
@@ -146,8 +211,13 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
     elif use_pallas:
         from unimm_tpu.ops import pallas_attention as pattn
 
+        def _pattn(q, k, v, d):
+            return pattn.fused_text_attention(q, k, v, d, interpret)
+
+        _pattn_c = _shard_map_dp(smesh, _pattn, 4) if smesh else _pattn
+
         def text_fused_attn(q, k, v):
-            return pattn.fused_text_attention(q, k, v, desc, interpret)
+            return _pattn_c(q, k, v, desc)
     else:
         t_bias = masks.text_self_bias(batch["mode"], batch["ctx_end"],
                                       batch["ans_len"], Lmax, dtype)
@@ -171,7 +241,8 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
 
 
 def forward_train(params, cfg: VilbertConfig, batch, *, rng,
-                  nsp_weight=None, dtype=jnp.bfloat16, train=True):
+                  nsp_weight=None, dtype=jnp.bfloat16, train=True,
+                  mesh=None):
     """Training losses (vilbert_dialog.py:1559-1624 semantics).
 
     Extra batch keys: mlm_labels [B,L] (-1 ignore), lm_weight [B,L],
@@ -181,7 +252,7 @@ def forward_train(params, cfg: VilbertConfig, batch, *, rng,
     batch = expand_images(batch)
     r_enc, r_head = (jax.random.split(rng) if rng is not None else (None, None))
     t_seq, v_seq, pooled_t, pooled_v = encode(
-        params, cfg, batch, train=train, rng=r_enc, dtype=dtype)
+        params, cfg, batch, train=train, rng=r_enc, dtype=dtype, mesh=mesh)
     lm, img_logits, nsp_logits = lm_loss_and_heads(
         params, cfg, t_seq, v_seq, pooled_t, pooled_v, batch, train=train,
         rng=r_head)
@@ -242,7 +313,7 @@ def label_positions(mlm_labels, max_positions: int = MAX_LABEL_POSITIONS):
 
 def forward_eval(params, cfg: VilbertConfig, batch, *, dtype=jnp.bfloat16,
                  need_lm=True, need_nsp=True,
-                 max_label_positions: int = MAX_LABEL_POSITIONS):
+                 max_label_positions: int = MAX_LABEL_POSITIONS, mesh=None):
     """Eval scoring pass (val_lm.py:121-143 / train.py:258-263 semantics).
 
     Returns dict with:
@@ -257,7 +328,7 @@ def forward_eval(params, cfg: VilbertConfig, batch, *, dtype=jnp.bfloat16,
     covering bucket; 128 covers every representable generative answer.
     """
     t_seq, v_seq, pooled_t, pooled_v = encode(
-        params, cfg, batch, train=False, rng=None, dtype=dtype)
+        params, cfg, batch, train=False, rng=None, dtype=dtype, mesh=mesh)
     out = {}
     if need_nsp:
         pooled = (pooled_t * pooled_v if cfg.fusion_method == "mul"
