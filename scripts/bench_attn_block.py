@@ -153,13 +153,195 @@ def _mk_probe(softmax_mode):
     return f
 
 
+# --- layout-experiment probes (round 3: attack the ~1.4 ms lane-relayout
+# overhead of odd-64 per-head slices; ROADMAP "in-kernel attribution") -----
+
+def _probe_transposed_kernel(desc_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                             wv_ref, bv_ref, wo_ref, bo_ref, g_ref, beta_ref,
+                             o_ref, *, Hn, Dn, scale):
+    """Projections computed TRANSPOSED (qT/kT/vT [HID, L]) so per-head
+    slices are sublane (row) slices at 64-row boundaries — aligned — and
+    the ctx concat disappears into per-head Wo row-slice accumulation."""
+    b = pl.program_id(0)
+    Ln = x_ref.shape[-2]
+    x = x_ref[0]
+    dt = x.dtype
+    xT = x.T                                        # one relayout per seq
+
+    def projT(w_ref, b_ref):
+        y = jax.lax.dot_general(w_ref[:], xT, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref[:][:, None].astype(jnp.float32)).astype(dt)
+
+    qT = projT(wq_ref, bq_ref)
+    qT = (qT.astype(jnp.float32) * scale).astype(dt)
+    kT = projT(wk_ref, bk_ref)
+    vT = projT(wv_ref, bv_ref)
+    bias = _mask_bias(desc_ref[b, 0], desc_ref[b, 1], desc_ref[b, 2], Ln)
+
+    out = None
+    for h in range(Hn):
+        qh_T = jax.lax.slice(qT, (h * Dn, 0), ((h + 1) * Dn, Ln))
+        kh_T = jax.lax.slice(kT, (h * Dn, 0), ((h + 1) * Dn, Ln))
+        vh_T = jax.lax.slice(vT, (h * Dn, 0), ((h + 1) * Dn, Ln))
+        s = jax.lax.dot_general(qh_T, kh_T, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + bias, axis=-1)
+        ctx_h = jax.lax.dot_general(                 # [L, D]
+            p.astype(dt), vh_T, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        wo_h = jax.lax.slice(wo_ref[:], (h * Dn, 0),
+                             ((h + 1) * Dn, wo_ref.shape[1]))
+        acc = jax.lax.dot_general(ctx_h, wo_h, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out = acc if out is None else out + acc
+
+    h32 = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    y = (h32 - mean) * jax.lax.rsqrt(var + 1e-12)
+    y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _probe_wo_acc_kernel(desc_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                         wv_ref, bv_ref, wo_ref, bo_ref, g_ref, beta_ref,
+                         o_ref, *, Hn, Dn, scale):
+    """Current column-slice layout, but the ctx concat is replaced by
+    per-head Wo row-slice accumulation (isolates the concat's cost)."""
+    b = pl.program_id(0)
+    Ln = x_ref.shape[-2]
+    x = x_ref[0]
+    dt = x.dtype
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref[:].astype(jnp.float32)).astype(dt)
+
+    q = (proj(wq_ref, bq_ref).astype(jnp.float32) * scale).astype(dt)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    bias = _mask_bias(desc_ref[b, 0], desc_ref[b, 1], desc_ref[b, 2], Ln)
+    out = None
+    for h in range(Hn):
+        qh = jax.lax.slice(q, (0, h * Dn), (Ln, (h + 1) * Dn))
+        kh = jax.lax.slice(k, (0, h * Dn), (Ln, (h + 1) * Dn))
+        vh = jax.lax.slice(v, (0, h * Dn), (Ln, (h + 1) * Dn))
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + bias, axis=-1)
+        ctx_h = jax.lax.dot_general(
+            p.astype(dt), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        wo_h = jax.lax.slice(wo_ref[:], (h * Dn, 0),
+                             ((h + 1) * Dn, wo_ref.shape[1]))
+        acc = jax.lax.dot_general(ctx_h, wo_h, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out = acc if out is None else out + acc
+    h32 = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    y = (h32 - mean) * jax.lax.rsqrt(var + 1e-12)
+    y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _probe_pad128_kernel(desc_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                         wv_ref, bv_ref, wo_ref, bo_ref, g_ref, beta_ref,
+                         o_ref, *, Hn, scale):
+    """Heads zero-padded to D'=128 (weights pre-padded outside): every
+    per-head slice lands on a 128-lane boundary; projections/Wo do 2x the
+    matmul work, QK/PV run at 100% MXU util instead of 50%."""
+    b = pl.program_id(0)
+    Ln = x_ref.shape[-2]
+    Dp = 128
+    x = x_ref[0]
+    dt = x.dtype
+
+    def proj(w_ref, b_ref):
+        y = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (y + b_ref[:].astype(jnp.float32)).astype(dt)
+
+    q = (proj(wq_ref, bq_ref).astype(jnp.float32) * scale).astype(dt)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+    bias = _mask_bias(desc_ref[b, 0], desc_ref[b, 1], desc_ref[b, 2], Ln)
+    ctx = []
+    for h in range(Hn):
+        qh = jax.lax.slice(q, (0, h * Dp), (Ln, (h + 1) * Dp))
+        kh = jax.lax.slice(k, (0, h * Dp), (Ln, (h + 1) * Dp))
+        vh = jax.lax.slice(v, (0, h * Dp), (Ln, (h + 1) * Dp))
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + bias, axis=-1)
+        ctx.append(jax.lax.dot_general(
+            p.astype(dt), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt))
+    ctx = jnp.concatenate(ctx, axis=-1)              # [L, H*128]
+    out = jax.lax.dot_general(ctx, wo_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    h32 = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    y = (h32 - mean) * jax.lax.rsqrt(var + 1e-12)
+    y = y * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _mk_layout_probe(which):
+    def f(p, x, mode, ctx_end, ans_len):
+        desc = jnp.stack([mode, ctx_end, ans_len], axis=-1)
+        ps, po = p["self"], p["output"]
+        w = pl.BlockSpec(memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((1, L, HID), lambda b, d: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B,),
+            in_specs=[xspec, w, w, w, w, w, w, w, w, w, w],
+            out_specs=xspec)
+        wq, bq = ps["query"]["kernel"], ps["query"]["bias"]
+        wk, bk = ps["key"]["kernel"], ps["key"]["bias"]
+        wv, bv = ps["value"]["kernel"], ps["value"]["bias"]
+        wo, bo = po["dense"]["kernel"], po["dense"]["bias"]
+        if which == "transposed":
+            kern = functools.partial(_probe_transposed_kernel, Hn=H, Dn=D,
+                                     scale=1.0 / math.sqrt(D))
+        elif which == "wo_acc":
+            kern = functools.partial(_probe_wo_acc_kernel, Hn=H, Dn=D,
+                                     scale=1.0 / math.sqrt(D))
+        else:                                        # pad128
+            def pad_cols(wm, bm):
+                w3 = wm.reshape(HID, H, D)
+                w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, 128 - D)))
+                return w3.reshape(HID, H * 128), jnp.pad(
+                    bm.reshape(H, D), ((0, 0), (0, 128 - D))).reshape(-1)
+            wq, bq = pad_cols(wq, bq)
+            wk, bk = pad_cols(wk, bk)
+            wv, bv = pad_cols(wv, bv)
+            wo = jnp.pad(wo.reshape(H, D, HID),
+                         ((0, 0), (0, 128 - D), (0, 0))).reshape(H * 128, HID)
+            kern = functools.partial(_probe_pad128_kernel, Hn=H,
+                                     scale=1.0 / math.sqrt(D))
+        return pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(desc, x, wq, bq, wk, bk, wv, bv, wo, bo,
+          po["LayerNorm"]["weight"], po["LayerNorm"]["bias"])
+    return f
+
+
 VARIANTS = {"xla_block": xla_block, "fused_block": fused_block,
             "xla_ffn": xla_ffn, "fused_ffn": fused_ffn,
             "fused_block_bb2": fused_block_bb2, "fused_ffn_bb2": fused_ffn_bb2,
             "probe_nosoftmax": _mk_probe("none"),
             "probe_projonly": _mk_probe("skip"),
             "probe_noshift": _mk_probe("noshift"),
-            "probe_softmax": _mk_probe("full")}
+            "probe_softmax": _mk_probe("full"),
+            "probe_transposed": _mk_layout_probe("transposed"),
+            "probe_wo_acc": _mk_layout_probe("wo_acc"),
+            "probe_pad128": _mk_layout_probe("pad128")}
 
 
 def bench(name, fn, p):

@@ -86,10 +86,33 @@ def variant_cfg(name):
 
 
 def bench(name):
+    # optimizer ablations compose with any model variant:
+    #   <variant>+sgd     — plain SGD bounds the whole AdamW update cost
+    #   <variant>+mubf16  — bf16 first moment (halved mu HBM traffic)
+    opt_kind = "adamw"
+    for suffix in ("+sgd", "+mubf16", "+adamw1", "+flat1"):
+        if name.endswith(suffix):
+            name, opt_kind = name[: -len(suffix)], suffix[1:]
+            break
     cfg = variant_cfg(name)
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
-    ocfg = optim.OptimConfig(batch_multiply=1, warmup_steps=10, t_total=1000)
-    tx = optim.make_optimizer(params, ocfg)
+    ocfg = optim.OptimConfig(batch_multiply=1, warmup_steps=10, t_total=1000,
+                             mu_dtype="bfloat16" if opt_kind == "mubf16"
+                             else None)
+    import optax
+    if opt_kind == "sgd":
+        tx = optax.sgd(1e-5)
+    elif opt_kind == "adamw1":     # single-group adamw (no multi_transform)
+        tx = optax.adamw(optim.warmup_linear_nonzero(2e-5, ocfg),
+                         b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.01)
+    elif opt_kind == "flat1":      # single-group, flattened to one vector
+        tx = optax.flatten(optax.adamw(
+            optim.warmup_linear_nonzero(2e-5, ocfg),
+            b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.01))
+    else:
+        tx = optim.make_optimizer(params, ocfg)
+    if opt_kind != "adamw":
+        name = name + "+" + opt_kind
     state = tstep.init_state(params, tx, seed=0)
     train_step = tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16)
     nsp_weight = jnp.asarray([1.0, 1.0])

@@ -140,3 +140,49 @@ def test_multiprocess_save_and_guard(worker_outputs):
     import torch
     blob = torch.load(ckpt, map_location="cpu", weights_only=False)
     assert blob["iter_id"] == 1 and "model_state_dict" in blob
+
+
+RESUME_WORKER = os.path.join(REPO, "tests", "_multihost_resume_worker.py")
+
+
+def _run_resume_phase(phase, port, ckpt_dir):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, RESUME_WORKER, str(rank), "2", str(port), ckpt_dir,
+         phase],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for rank in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err[-4000:]
+        assert "WORKER_OK" in out
+    return outs
+
+
+@pytest.mark.slow
+def test_multiprocess_restore_resumes(tmp_path):
+    """2-process native save -> FRESH 2-process restore -> the next step's
+    metrics equal the never-interrupted run (multi-host failure/resume:
+    reference train.py:351-389 semantics under the jax.distributed layer)."""
+    ckpt_dir = str(tmp_path / "native")
+    save_outs = _run_resume_phase("save", _free_port(), ckpt_dir)
+    rest_outs = _run_resume_phase("restore", _free_port(), ckpt_dir)
+    m_save = _parse(save_outs[0][1], "METRICS2", 0)
+    m_rest = _parse(rest_outs[0][1], "METRICS2", 0)
+    assert m_save.keys() == m_rest.keys()
+    for k in m_save:
+        assert abs(m_save[k] - m_rest[k]) < 1e-6, (k, m_save[k], m_rest[k])
+    # both restore processes agree with each other too
+    m_rest1 = _parse(rest_outs[1][1], "METRICS2", 1)
+    for k in m_rest:
+        assert abs(m_rest[k] - m_rest1[k]) < 1e-6

@@ -92,3 +92,55 @@ def test_group_lrs_applied():
     img_up = float(jnp.abs(
         updates["bert"]["t_pooler"]["dense"]["kernel"]).mean())
     assert lang_up > 5 * img_up   # 1e-2 vs 1e-3 (adam-normalised grads ~1)
+
+
+def test_mu_bf16_moments_track_fp32_loss_curve():
+    """-adam_mu_dtype bfloat16: the halved-traffic first moment must not
+    change the optimization trajectory beyond bf16 rounding — loss curves on
+    the overfit set stay within 2% of fp32 moments."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_model import TINY, make_batch
+    from unimm_tpu.models import vilbert
+    from unimm_tpu.train import optim as O, step as tstep
+
+    cfg = TINY
+    params0 = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    B, L = 4, cfg.max_seq_len
+    batch = make_batch(rng, cfg, B=B)
+    labels = np.full((B, L), -1, np.int32)
+    labels[:, 12:18] = rng.integers(0, cfg.vocab_size, (B, 6))
+    batch.update({
+        "mlm_labels": jnp.asarray(labels),
+        "lm_weight": jnp.asarray((labels != -1).astype(np.float32)),
+        "next_sentence_label": jnp.asarray(rng.integers(0, 2, B)),
+        "image_target": jnp.asarray(rng.dirichlet(
+            np.ones(cfg.v_target_size),
+            (B, cfg.max_regions)).astype(np.float32)),
+        "image_label": jnp.asarray(rng.choice([-1, 1],
+                                              (B, cfg.max_regions))),
+    })
+
+    curves = {}
+    for mu_dtype in (None, "bfloat16"):
+        ocfg = O.OptimConfig(lr=5e-4, image_lr=5e-4, warmup_steps=1,
+                             t_total=1000, mu_dtype=mu_dtype)
+        tx = O.make_optimizer(params0, ocfg)
+        state = tstep.init_state(params0, tx, seed=0)
+        step = tstep.make_train_step(cfg, tx, dtype=jnp.float32,
+                                     donate=False)
+        losses = []
+        for _ in range(25):
+            state, m = step(state, batch, jnp.asarray([1.0, 1.0]))
+            losses.append(float(m["loss"]))
+        curves[str(mu_dtype)] = losses
+        if mu_dtype == "bfloat16":
+            mu = jax.tree_util.tree_leaves(state["opt_state"])
+            assert any(getattr(x, "dtype", None) == jnp.bfloat16
+                       for x in mu), "bf16 moments not in the opt state"
+    a, b = np.asarray(curves["None"]), np.asarray(curves["bfloat16"])
+    assert a[-1] < a[0] * 0.9          # it actually learns
+    np.testing.assert_allclose(b, a, rtol=2e-2)

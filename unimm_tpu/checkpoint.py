@@ -355,6 +355,12 @@ def save_reference_ckpt(path: str, params, iter_id: int = 0, opt_state=None,
 # ---------------------------------------------------------------------------
 
 def save_native(directory: str, state, step: int):
+    """Write the native Orbax full-state checkpoint.
+
+    Multi-process: EVERY process must call this (orbax's save protocol runs
+    internal cross-process barriers; a rank-0-only call deadlocks against
+    them). Orbax writes from the primary process; pass the gathered host
+    state (parallel.mesh.gather_to_host) on all ranks."""
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(directory), f"step_{step}")

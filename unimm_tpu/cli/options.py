@@ -107,6 +107,11 @@ def read_command_line(argv=None) -> dict:
                         help='write a jax.profiler trace of steps 10-14 here '
                              '(the reference has no profiling at all, '
                              'SURVEY §5)')
+    parser.add_argument('-adam_mu_dtype', default='',
+                        choices=['', 'bfloat16', 'float32'],
+                        help='dtype of the first Adam moment; bfloat16 '
+                             'halves mu HBM traffic in the optimizer update '
+                             '(default: float32, exact reference parity)')
     parser.add_argument('-label_overflow_policy', default='dense',
                         choices=['dense', 'error', 'allow'],
                         help='gathered-MLM label-budget overflow handling: '

@@ -71,7 +71,8 @@ def main(argv=None):
     if os.path.exists(params["language_weights"]):
         lang = optim.load_language_weights(params["language_weights"])
     ocfg = optim.OptimConfig(lr=params["lr"], image_lr=params["image_lr"],
-                             batch_multiply=params["batch_multiply"])
+                             batch_multiply=params["batch_multiply"],
+                             mu_dtype=params["adam_mu_dtype"] or None)
     tx = optim.make_optimizer(model_params, ocfg, lang)
     state = tstep.init_state(model_params, tx, seed=params["seed"])
 
@@ -168,13 +169,16 @@ def main(argv=None):
                 break
 
         if epoch_id % params["save_every_epochs"] == 0:
-            # multi-process: gather shards (leaf-wise, to host) so the full
-            # state is never replicated on device, and only process 0 writes
-            # (shared filesystems would otherwise race on the same files)
+            # multi-process: gather shards to host in bounded groups so the
+            # full state is never replicated on device at once. The native
+            # orbax save must run on EVERY process (its save protocol
+            # barriers across processes — a rank-0-only call deadlocks);
+            # orbax itself writes from the primary only. The torch-format
+            # ckpt is plain file IO, so only process 0 writes it.
             host_state = pmesh.gather_to_host(state, mesh)
+            C.save_native(os.path.join(params["save_path"], "native"),
+                          host_state, iter_id)
             if jax.process_index() == 0:
-                C.save_native(os.path.join(params["save_path"], "native"),
-                              host_state, iter_id)
                 C.save_reference_ckpt(
                     os.path.join(params["save_path"],
                                  f"visdial_dialog_encoder_{iter_id}.ckpt"),

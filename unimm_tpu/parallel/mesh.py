@@ -119,18 +119,37 @@ def _gather_fn(mesh: Mesh):
     return jax.jit(lambda x: x, out_shardings=replicated(mesh))
 
 
-def gather_to_host(tree, mesh: Mesh):
+def gather_to_host(tree, mesh: Mesh, max_bytes: int = 256 * 1024 * 1024):
     """Fetch a (dp/mp-)sharded pytree to host numpy on every process
     (cross-host shards are not directly addressable to ``device_get``).
 
-    Gathers LEAF BY LEAF so at most one leaf is ever fully replicated on
-    device at a time — replicating a whole mp-sharded train state (params +
+    Gathers in GROUPS of leaves bounded by ``max_bytes`` of replicated
+    device memory: replicating a whole mp-sharded train state (params +
     both Adam moments) at once would OOM exactly the sharded-model case mp
-    exists for. The jitted identity-gather is cached per mesh."""
+    exists for, while gathering leaf-by-leaf costs one cross-process
+    collective dispatch per leaf (~400 for a full train state — minutes
+    over Gloo/DCN, measured in the 2-process resume test). Leaves larger
+    than the budget still go alone (same bound as leaf-wise)."""
     if mesh_process_count(mesh) == 1:
         return jax.device_get(tree)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
     g = _gather_fn(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_get(g(x)), tree)
+    out, group, group_bytes = [], [], 0
+
+    def flush():
+        nonlocal group, group_bytes
+        if group:
+            out.extend(jax.device_get(g(group)))
+            group, group_bytes = [], 0
+
+    for leaf in leaves:
+        nbytes = getattr(leaf, "nbytes", np.asarray(leaf).nbytes)
+        if group and group_bytes + nbytes > max_bytes:
+            flush()
+        group.append(leaf)
+        group_bytes += nbytes
+    flush()
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -35,6 +35,11 @@ class OptimConfig:
     weight_decay: float = 0.01
     batch_multiply: int = 1
     adam_eps: float = 1e-6
+    # dtype of the first Adam moment (optax mu_dtype); "bfloat16" halves the
+    # mu HBM traffic in the update pass. None keeps fp32 (exact reference
+    # parity; nu stays fp32 always — its magnitudes need the fp32 exponent
+    # range near zero and bf16 rounding there visibly shifts step sizes).
+    mu_dtype: Optional[str] = None
 
 
 def warmup_linear_nonzero(base_lr: float, cfg: OptimConfig,
@@ -81,7 +86,8 @@ def make_optimizer(params, cfg: OptimConfig,
         return optax.adamw(
             learning_rate=warmup_linear_nonzero(base_lr, cfg,
                                                 step_scale=cfg.batch_multiply),
-            b1=0.9, b2=0.999, eps=cfg.adam_eps, weight_decay=wd)
+            b1=0.9, b2=0.999, eps=cfg.adam_eps, weight_decay=wd,
+            mu_dtype=cfg.mu_dtype)
 
     tx = optax.multi_transform({
         "lang_decay": adamw(cfg.lr, cfg.weight_decay),
