@@ -31,31 +31,32 @@ from unimm_tpu.train import optim, step as tstep
 B = 240
 
 
-def make_batch(seed, cfg):
+def make_batch(seed, cfg, nb=None):
     rng = np.random.default_rng(seed)
+    nb = nb or B
     L, R = cfg.max_seq_len, cfg.max_regions
-    labels = np.full((B, L), -1, np.int32)
-    n_lab = rng.integers(10, 40, B)
-    for i in range(B):
+    labels = np.full((nb, L), -1, np.int32)
+    n_lab = rng.integers(10, 40, nb)
+    for i in range(nb):
         pos = rng.permutation(L - 2)[: n_lab[i]] + 1
         labels[i, pos] = rng.integers(0, cfg.vocab_size, n_lab[i])
-    w = np.zeros((B, L), np.float32)
+    w = np.zeros((nb, L), np.float32)
     w[labels != -1] = 1.0
-    w[: B // 4][labels[: B // 4] != -1] = -1.0   # UL portion
+    w[: nb // 4][labels[: nb // 4] != -1] = -1.0   # UL portion
     return {k: jnp.asarray(v) for k, v in {
-        "tokens": rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32),
-        "segments": rng.integers(0, 2, (B, L)).astype(np.int32),
-        "mode": rng.integers(0, 2, B).astype(np.int32),
-        "ctx_end": rng.integers(60, 200, B).astype(np.int32),
-        "ans_len": rng.integers(2, 9, B).astype(np.int32),
+        "tokens": rng.integers(1, cfg.vocab_size, (nb, L)).astype(np.int32),
+        "segments": rng.integers(0, 2, (nb, L)).astype(np.int32),
+        "mode": rng.integers(0, 2, nb).astype(np.int32),
+        "ctx_end": rng.integers(60, 200, nb).astype(np.int32),
+        "ans_len": rng.integers(2, 9, nb).astype(np.int32),
         "mlm_labels": labels, "lm_weight": w,
-        "next_sentence_label": rng.integers(0, 2, B).astype(np.int32),
-        "image_feat": rng.normal(size=(B, R, 2048)).astype(np.float32),
-        "image_loc": rng.normal(size=(B, R, 5)).astype(np.float32),
-        "image_mask": np.ones((B, R), np.int32),
+        "next_sentence_label": rng.integers(0, 2, nb).astype(np.int32),
+        "image_feat": rng.normal(size=(nb, R, 2048)).astype(np.float32),
+        "image_loc": rng.normal(size=(nb, R, 5)).astype(np.float32),
+        "image_mask": np.ones((nb, R), np.int32),
         "image_target": rng.dirichlet(np.ones(cfg.v_target_size),
-                                      (B, R)).astype(np.float32),
-        "image_label": rng.choice([-1, 0, 1], (B, R)).astype(np.int32),
+                                      (nb, R)).astype(np.float32),
+        "image_label": rng.choice([-1, 0, 1], (nb, R)).astype(np.int32),
     }.items()}
 
 
@@ -113,22 +114,41 @@ def bench(name):
         tx = optim.make_optimizer(params, ocfg)
     if opt_kind != "adamw":
         name = name + "+" + opt_kind
+    # microbatch ablation: '<variant>@<micro>x<k>' runs k accumulation
+    # micro-steps of size micro (optax.MultiSteps) per effective 240-batch —
+    # e.g. 'noremat@120x2' trades remat's ~33% recompute for accumulator
+    # traffic at halved activation memory
+    micro, ksteps = B, 1
+    if "@" in name:
+        name, spec = name.split("@")
+        m_s, k_s = spec.split("x")
+        micro, ksteps = int(m_s), int(k_s)
+        cfg = variant_cfg(name)
+        params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+        ocfg = optim.OptimConfig(batch_multiply=ksteps, warmup_steps=10,
+                                 t_total=1000)
+        tx = optim.make_optimizer(params, ocfg)
+        name = f"{name}@{micro}x{ksteps}"
     state = tstep.init_state(params, tx, seed=0)
     train_step = tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16)
     nsp_weight = jnp.asarray([1.0, 1.0])
-    batches = [make_batch(s, cfg) for s in range(3)]
-    for b in batches:  # compile + warm
-        state, m = train_step(state, b, nsp_weight)
+    batches = [[make_batch(s * ksteps + j, cfg, micro)
+                for j in range(ksteps)] for s in range(3)]
+    for group in batches:  # compile + warm
+        for b in group:
+            state, m = train_step(state, b, nsp_weight)
     float(np.asarray(m["loss"]))
     times = []
     for rep in range(6):
-        b = batches[rep % 3]
+        group = batches[rep % 3]
         t0 = time.perf_counter()
-        state, m = train_step(state, b, nsp_weight)
+        for b in group:
+            state, m = train_step(state, b, nsp_weight)
         float(np.asarray(m["loss"]))   # host fetch closes the timing
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
-    print(f"{name:16s} {med*1e3:8.1f} ms/step  ({B/med:.1f} seq/s)  "
+    eff = micro * ksteps
+    print(f"{name:16s} {med*1e3:8.1f} ms/step  ({eff/med:.1f} seq/s)  "
           f"min {min(times)*1e3:.1f} max {max(times)*1e3:.1f}")
 
 

@@ -144,3 +144,73 @@ def test_mu_bf16_moments_track_fp32_loss_curve():
     a, b = np.asarray(curves["None"]), np.asarray(curves["bfloat16"])
     assert a[-1] < a[0] * 0.9          # it actually learns
     np.testing.assert_allclose(b, a, rtol=2e-2)
+
+
+def test_fused_grouped_adamw_equals_multi_transform():
+    """The single-pass grouped AdamW (scale_by_adam + per-leaf group
+    scaling) must match the original 4-way optax.multi_transform of adamw's
+    step for step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unimm_tpu import checkpoint as ckpt
+    from unimm_tpu.train import optim as O
+
+    rng = np.random.default_rng(0)
+    params = {
+        "bert": {"embeddings": {"word_embeddings":
+                                jnp.asarray(rng.normal(size=(50, 8)),
+                                            jnp.float32)},
+                 "encoder": {"layer": {"0": {"attention": {"self": {
+                     "query": {"kernel": jnp.asarray(
+                         rng.normal(size=(8, 8)), jnp.float32),
+                         "bias": jnp.zeros(8)}}}}}}},
+        "v_pooler": {"dense": {"kernel": jnp.asarray(
+            rng.normal(size=(8, 8)), jnp.float32),
+            "bias": jnp.zeros(8)}},
+    }
+    lang = ["bert.embeddings.word_embeddings.weight",
+            "bert.encoder.layer.0.attention.self.query.weight",
+            "bert.encoder.layer.0.attention.self.query.bias"]
+    cfg = O.OptimConfig(lr=1e-3, image_lr=5e-4, warmup_steps=3, t_total=50,
+                        weight_decay=0.01)
+
+    lang_set = ckpt.language_param_set(lang)
+
+    def label_tree(tree):
+        def rec(node, path):
+            if isinstance(node, dict):
+                return {k: rec(v, path + (k,)) for k, v in node.items()}
+            return ckpt.group_label(path, lang_set)
+        return rec(tree, ())
+
+    def adamw(base_lr, wd):
+        return optax.adamw(
+            learning_rate=O.warmup_linear_nonzero(base_lr, cfg),
+            b1=0.9, b2=0.999, eps=cfg.adam_eps, weight_decay=wd)
+
+    tx_old = optax.multi_transform({
+        "lang_decay": adamw(cfg.lr, cfg.weight_decay),
+        "lang_nodecay": adamw(cfg.lr, 0.0),
+        "img_decay": adamw(cfg.image_lr, cfg.weight_decay),
+        "img_nodecay": adamw(cfg.image_lr, 0.0),
+    }, label_tree(params))
+    tx_new = O.make_optimizer(params, cfg, lang)
+
+    s_old, s_new = tx_old.init(params), tx_new.init(params)
+    p_old = p_new = params
+    for step in range(6):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(step).normal(size=p.shape), p.dtype),
+            params)
+        u_old, s_old = tx_old.update(g, s_old, p_old)
+        u_new, s_new = tx_new.update(g, s_new, p_new)
+        p_old = optax.apply_updates(p_old, u_old)
+        p_new = optax.apply_updates(p_new, u_new)
+    for a, b in zip(jax.tree_util.tree_leaves(p_old),
+                    jax.tree_util.tree_leaves(p_new)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)

@@ -67,7 +67,20 @@ def warmup_linear_nonzero(base_lr: float, cfg: OptimConfig,
 def make_optimizer(params, cfg: OptimConfig,
                    language_weights: Optional[Sequence[str]] = None):
     """Build the grouped AdamW. ``language_weights`` is the parsed JSON list;
-    if None, every parameter uses ``lr`` (single-group fallback)."""
+    if None, every parameter uses ``lr`` (single-group fallback).
+
+    Structure: ONE full-tree optax.scale_by_adam followed by a custom
+    per-leaf (-lr_group * (dir + wd_group * p)) scaling whose group lr/wd
+    are STATIC per leaf. This is numerically identical to the previous
+    4-way optax.multi_transform of adamw's (test_optim proves it) but ~10
+    ms/step faster at the flagship size — the masked partition cost more
+    than the whole single-group update (measured on v5e: grouped 752.7,
+    single-group 742.8, flattened 740.1, SGD floor 714.3 ms/step; see
+    ROADMAP). The state keeps the standard ScaleByAdamState /
+    ScaleByScheduleState shapes so the reference-checkpoint moment graft
+    (checkpoint._graft_opt_state) and extraction work unchanged."""
+    import jax.numpy as jnp
+
     if language_weights is None:
         lang_set = {ckpt.torch_name(p) for p, _ in ckpt.iter_param_items(params)}
     else:
@@ -81,20 +94,32 @@ def make_optimizer(params, cfg: OptimConfig,
         return rec(tree, ())
 
     labels = label_tree(params)
+    lang_sched = warmup_linear_nonzero(cfg.lr, cfg,
+                                       step_scale=cfg.batch_multiply)
+    img_sched = warmup_linear_nonzero(cfg.image_lr, cfg,
+                                      step_scale=cfg.batch_multiply)
 
-    def adamw(base_lr, wd):
-        return optax.adamw(
-            learning_rate=warmup_linear_nonzero(base_lr, cfg,
-                                                step_scale=cfg.batch_multiply),
-            b1=0.9, b2=0.999, eps=cfg.adam_eps, weight_decay=wd,
-            mu_dtype=cfg.mu_dtype)
+    def init(params_):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
 
-    tx = optax.multi_transform({
-        "lang_decay": adamw(cfg.lr, cfg.weight_decay),
-        "lang_nodecay": adamw(cfg.lr, 0.0),
-        "img_decay": adamw(cfg.image_lr, cfg.weight_decay),
-        "img_nodecay": adamw(cfg.image_lr, 0.0),
-    }, labels)
+    def update(updates, state, params_):
+        if params_ is None:
+            raise ValueError("grouped adamw scaling requires params")
+        lr = {"lang": lang_sched(state.count), "img": img_sched(state.count)}
+
+        def leaf(u, p, lab):
+            group, decay = lab.split("_")
+            wd = cfg.weight_decay if decay == "decay" else 0.0
+            out = u + wd * p.astype(u.dtype) if wd else u
+            return (-lr[group] * out).astype(u.dtype)
+
+        new_updates = jax.tree_util.tree_map(leaf, updates, params_, labels)
+        return new_updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=cfg.adam_eps,
+                            mu_dtype=cfg.mu_dtype),
+        optax.GradientTransformation(init, update))
 
     if cfg.batch_multiply > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.batch_multiply)
