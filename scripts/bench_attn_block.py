@@ -171,7 +171,8 @@ def _probe_transposed_kernel(desc_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     def projT(w_ref, b_ref):
         y = jax.lax.dot_general(w_ref[:], xT, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        return (y + b_ref[:][:, None].astype(jnp.float32)).astype(dt)
+        # minor-dim insertion must happen on a 32-bit type (Mosaic limit)
+        return (y + b_ref[:].astype(jnp.float32)[:, None]).astype(dt)
 
     qT = projT(wq_ref, bq_ref)
     qT = (qT.astype(jnp.float32) * scale).astype(dt)

@@ -238,3 +238,36 @@ def test_exported_opt_state_loads_into_torch_adamw(tmp_path, params):
     for tp in t_params:
         tp.grad = torch.zeros_like(tp)
     opt.step()  # state is structurally sound for torch
+
+
+def test_targz_archive_loading(tmp_path):
+    """Local HF-style .tar.gz archives (pytorch_model.bin inside) load via
+    load_reference_ckpt — the offline half of the reference's
+    from_pretrained archive resolution (vilbert_dialog.py:1123-1232)."""
+    import tarfile
+
+    import jax
+    import numpy as np
+    import torch
+
+    from tests.test_model import TINY
+    from unimm_tpu import checkpoint as C
+    from unimm_tpu.models import vilbert
+
+    params = vilbert.init_params(jax.random.PRNGKey(3), TINY)
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in
+          C.to_torch_state_dict(params, prefix="").items()}
+    inner = tmp_path / "model"
+    inner.mkdir()
+    torch.save(sd, inner / "pytorch_model.bin")
+    archive = tmp_path / "weights.tar.gz"
+    with tarfile.open(archive, "w:gz") as t:
+        t.add(inner / "pytorch_model.bin", arcname="pytorch_model.bin")
+
+    template = vilbert.init_params(jax.random.PRNGKey(4), TINY)
+    loaded, _iter, n, skipped = C.load_reference_ckpt(str(archive), template)
+    assert not skipped
+    for (pa, a), (pb, b) in zip(C.iter_param_items(params),
+                                C.iter_param_items(loaded)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -138,11 +138,43 @@ def to_torch_state_dict(params, prefix: str = "bert_pretrained.",
     return out
 
 
+def _resolve_archive(path: str):
+    """HF-style local archive resolution (vilbert_dialog.py:1123-1232
+    ``from_pretrained``): a ``.tar.gz`` containing ``pytorch_model.bin`` is
+    extracted to a temp dir and the weights file path is returned. The
+    URL/name-resolution half of the reference surface is unreachable
+    without network egress and is intentionally not reproduced."""
+    import tarfile
+    import tempfile
+
+    if not (os.path.isfile(path) and tarfile.is_tarfile(path)):
+        return path, None
+    tmp = tempfile.TemporaryDirectory(prefix="unimm_archive_")
+    with tarfile.open(path, "r:*") as t:
+        try:
+            t.extractall(tmp.name, filter="data")
+        except TypeError:      # older tarfile without the filter kwarg
+            t.extractall(tmp.name)
+    candidates = []
+    for root, _, files in os.walk(tmp.name):
+        for f in files:
+            if f == "pytorch_model.bin":
+                return os.path.join(root, f), tmp
+            if f.endswith((".bin", ".ckpt", ".pt")):
+                candidates.append(os.path.join(root, f))
+    if candidates:
+        return candidates[0], tmp
+    raise FileNotFoundError(
+        f"archive {path!r} contains no pytorch_model.bin/.bin/.ckpt/.pt "
+        "weights file")
+
+
 def load_reference_ckpt(path: str, params_template):
-    """Load a reference-format .ckpt (torch.save pickle). Returns
-    (params, iter_id)."""
+    """Load a reference-format .ckpt (torch.save pickle) or a local
+    HF-style .tar.gz archive. Returns (params, iter_id)."""
     import torch  # lazy: only the converter touches torch
 
+    path, _tmp = _resolve_archive(path)
     blob = torch.load(path, map_location="cpu", weights_only=False)
     iter_id = 0
     if isinstance(blob, dict) and "model_state_dict" in blob:
