@@ -90,20 +90,36 @@ def bench(name):
     # optimizer ablations compose with any model variant:
     #   <variant>+sgd     — plain SGD bounds the whole AdamW update cost
     #   <variant>+mubf16  — bf16 first moment (halved mu HBM traffic)
+    # spec grammar: <variant>[@<micro>x<k>][+<opt>]
+    #   +sgd / +mubf16 / +adamw1 / +flat1 — optimizer ablations
+    #   @<micro>x<k> — k accumulation micro-steps of size micro
+    #     (optax.MultiSteps) per effective batch, e.g. 'noremat@120x2'
+    #     trades remat's ~33% recompute for accumulator traffic
+    label = name
     opt_kind = "adamw"
     for suffix in ("+sgd", "+mubf16", "+adamw1", "+flat1"):
         if name.endswith(suffix):
             name, opt_kind = name[: -len(suffix)], suffix[1:]
             break
+    if "+" in name:
+        raise SystemExit(f"unknown optimizer suffix in {label!r}")
+    micro, ksteps = B, 1
+    if "@" in name:
+        name, spec = name.split("@", 1)
+        m_s, k_s = spec.split("x")
+        micro, ksteps = int(m_s), int(k_s)
     cfg = variant_cfg(name)
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
-    ocfg = optim.OptimConfig(batch_multiply=1, warmup_steps=10, t_total=1000,
+    ocfg = optim.OptimConfig(batch_multiply=ksteps, warmup_steps=10,
+                             t_total=1000,
                              mu_dtype="bfloat16" if opt_kind == "mubf16"
                              else None)
     import optax
     if opt_kind == "sgd":
         tx = optax.sgd(1e-5)
-    elif opt_kind == "adamw1":     # single-group adamw (no multi_transform)
+        if ksteps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=ksteps)
+    elif opt_kind == "adamw1":     # single-group adamw (no groups)
         tx = optax.adamw(optim.warmup_linear_nonzero(2e-5, ocfg),
                          b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.01)
     elif opt_kind == "flat1":      # single-group, flattened to one vector
@@ -112,23 +128,7 @@ def bench(name):
             b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.01))
     else:
         tx = optim.make_optimizer(params, ocfg)
-    if opt_kind != "adamw":
-        name = name + "+" + opt_kind
-    # microbatch ablation: '<variant>@<micro>x<k>' runs k accumulation
-    # micro-steps of size micro (optax.MultiSteps) per effective 240-batch —
-    # e.g. 'noremat@120x2' trades remat's ~33% recompute for accumulator
-    # traffic at halved activation memory
-    micro, ksteps = B, 1
-    if "@" in name:
-        name, spec = name.split("@")
-        m_s, k_s = spec.split("x")
-        micro, ksteps = int(m_s), int(k_s)
-        cfg = variant_cfg(name)
-        params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
-        ocfg = optim.OptimConfig(batch_multiply=ksteps, warmup_steps=10,
-                                 t_total=1000)
-        tx = optim.make_optimizer(params, ocfg)
-        name = f"{name}@{micro}x{ksteps}"
+    name = label
     state = tstep.init_state(params, tx, seed=0)
     train_step = tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16)
     nsp_weight = jnp.asarray([1.0, 1.0])

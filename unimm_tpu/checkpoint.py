@@ -153,7 +153,13 @@ def _resolve_archive(path: str):
     with tarfile.open(path, "r:*") as t:
         try:
             t.extractall(tmp.name, filter="data")
-        except TypeError:      # older tarfile without the filter kwarg
+        except TypeError:      # older tarfile without the filter kwarg:
+            # reject traversal members manually before extracting
+            for m in t.getmembers():
+                p = os.path.normpath(m.name)
+                if p.startswith(("/", "..")) or os.path.isabs(p):
+                    raise ValueError(
+                        f"archive member escapes extraction dir: {m.name!r}")
             t.extractall(tmp.name)
     candidates = []
     for root, _, files in os.walk(tmp.name):
@@ -162,8 +168,16 @@ def _resolve_archive(path: str):
                 return os.path.join(root, f), tmp
             if f.endswith((".bin", ".ckpt", ".pt")):
                 candidates.append(os.path.join(root, f))
-    if candidates:
+    if len(candidates) == 1:
         return candidates[0], tmp
+    if candidates:
+        # refuse to guess between several non-canonical weight files —
+        # os.walk order is filesystem-dependent and picking the wrong blob
+        # (e.g. an optimizer .pt) would silently load garbage
+        raise ValueError(
+            f"archive {path!r} has no pytorch_model.bin and several "
+            f"candidate weight files: {sorted(map(os.path.basename, candidates))}; "
+            "repack with the weights as pytorch_model.bin")
     raise FileNotFoundError(
         f"archive {path!r} contains no pytorch_model.bin/.bin/.ckpt/.pt "
         "weights file")
@@ -171,7 +185,9 @@ def _resolve_archive(path: str):
 
 def load_reference_ckpt(path: str, params_template):
     """Load a reference-format .ckpt (torch.save pickle) or a local
-    HF-style .tar.gz archive. Returns (params, iter_id)."""
+    HF-style .tar.gz archive.
+
+    Returns (params, iter_id, n_transferred, skipped_keys)."""
     import torch  # lazy: only the converter touches torch
 
     path, _tmp = _resolve_archive(path)

@@ -140,7 +140,8 @@ def main(argv=None):
     if os.path.exists(params["language_weights"]):
         lang = optim.load_language_weights(params["language_weights"])
     ocfg = optim.OptimConfig(lr=params["lr"], image_lr=params["image_lr"],
-                             batch_multiply=params["batch_multiply"])
+                             batch_multiply=params["batch_multiply"],
+                             mu_dtype=params["adam_mu_dtype"] or None)
     tx = optim.make_optimizer(model_params, ocfg, lang)
     state = {"params": model_params, "opt_state": tx.init(model_params),
              "step": jnp.zeros((), jnp.int32),
@@ -201,10 +202,14 @@ def main(argv=None):
 
         epoch_len = 100 if params["overfit"] else num_iter_epoch
         if iter_id % epoch_len == 0 and iter_id > 0:
-            C.save_reference_ckpt(
-                os.path.join(params["save_path"],
-                             f"visdial_dialog_encoder_{iter_id}.ckpt"),
-                jax.device_get(state["params"]), iter_id)
+            # torch-format write is plain file IO: process 0 only (all
+            # processes hold identical replicated/locally-complete params;
+            # concurrent writes to one shared path would corrupt it)
+            if rank == 0:
+                C.save_reference_ckpt(
+                    os.path.join(params["save_path"],
+                                 f"visdial_dialog_encoder_{iter_id}.ckpt"),
+                    jax.device_get(state["params"]), iter_id)
             if iter_id // epoch_len >= 2:
                 eval_loader = DataLoader(
                     eval_dataset, 5 if params["overfit"] else 4,

@@ -98,7 +98,18 @@ def main(argv=None):
                     f"-continue: no native checkpoint under "
                     f"{params['start_path']!r}")
             path, step_no = latest
-            host_state = C.restore_native(path, jax.device_get(state))
+            try:
+                host_state = C.restore_native(path, jax.device_get(state))
+            except Exception as e:
+                raise RuntimeError(
+                    f"native restore from {path} failed: {e}\n"
+                    "If this checkpoint was written before the grouped-"
+                    "AdamW restructure (opt_state went from a 4-way "
+                    "multi_transform to chain(scale_by_adam, group-scale)), "
+                    "its opt-state tree no longer matches. Resume from the "
+                    "reference-format .ckpt of the same run instead "
+                    "(-start_path <file.ckpt> restores moments + schedule)."
+                ) from e
 
         # re-establish the pre-restore placement: mesh-sharded leaves
         # (params + the Adam moments tx.init derived from them) go back to
