@@ -50,16 +50,24 @@ def main():
     B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
 
     def make_val_batch():
+        # label tokens sit in the answer span [ctx_end - ans_len, ctx_end)
+        # like real val_lm data (the scored answer IS the label span);
+        # earlier revisions parked them at a fixed 200:208 window, which
+        # contradicted the descriptors' own layout
+        ctx_end = rng.integers(60, 200, (B, R, O)).astype(np.int32)
+        ans_len = rng.integers(2, 9, (B, R, O)).astype(np.int32)
         labels = np.full((B, R, O, L), -1, np.int32)
-        labels[..., 200:208] = rng.integers(0, cfg.vocab_size,
-                                            (B, R, O, 8))
+        pos = np.arange(L)[None, None, None, :]
+        span = (pos >= (ctx_end - ans_len)[..., None]) & \
+               (pos < ctx_end[..., None])
+        labels[span] = rng.integers(0, cfg.vocab_size, int(span.sum()))
         return {
             "tokens": rng.integers(1, cfg.vocab_size,
                                    (B, R, O, L)).astype(np.int32),
             "segments": rng.integers(0, 2, (B, R, O, L)).astype(np.int32),
             "mode": np.ones((B, R, O), np.int32),
-            "ctx_end": rng.integers(60, 200, (B, R, O)).astype(np.int32),
-            "ans_len": rng.integers(2, 9, (B, R, O)).astype(np.int32),
+            "ctx_end": ctx_end,
+            "ans_len": ans_len,
             "mlm_labels": labels,
             "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
             "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
@@ -69,7 +77,10 @@ def main():
     # chunk scan on v5e (scripts/bench_e2e_ab.py, pallas_block):
     # 125 -> 1.67, 200 -> 1.68, 250 -> 1.79/1.72, 500 -> 1.58-1.67,
     # 1000 -> 1.63 dialogs/s/chip; 250 wins (host->device staging of the
-    # next chunk overlaps device compute of the current one)
+    # next chunk overlaps device compute of the current one).
+    # Round 3: the evaluator scores in ascending-extent order at per-chunk
+    # length buckets {64, 128, 192, 256} (exact under the descriptor
+    # masks) — 1.86 -> 2.51 d/s/chip on this protocol
     for chunk in (250, 125):
         try:
             ev = RankingEvaluator(cfg, chunk_size=chunk, dtype=jnp.bfloat16,

@@ -40,15 +40,21 @@ def run(spec, chunk=250):
     B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
 
     def make_val_batch():
+        # labels in the answer span, matching bench.py / real val_lm layout
+        ctx_end = rng.integers(60, 200, (B, R, O)).astype(np.int32)
+        ans_len = rng.integers(2, 9, (B, R, O)).astype(np.int32)
         labels = np.full((B, R, O, L), -1, np.int32)
-        labels[..., 200:208] = rng.integers(0, cfg.vocab_size, (B, R, O, 8))
+        pos = np.arange(L)[None, None, None, :]
+        span = (pos >= (ctx_end - ans_len)[..., None]) & \
+               (pos < ctx_end[..., None])
+        labels[span] = rng.integers(0, cfg.vocab_size, int(span.sum()))
         return {
             "tokens": rng.integers(1, cfg.vocab_size,
                                    (B, R, O, L)).astype(np.int32),
             "segments": rng.integers(0, 2, (B, R, O, L)).astype(np.int32),
             "mode": np.ones((B, R, O), np.int32),
-            "ctx_end": rng.integers(60, 200, (B, R, O)).astype(np.int32),
-            "ans_len": rng.integers(2, 9, (B, R, O)).astype(np.int32),
+            "ctx_end": ctx_end,
+            "ans_len": ans_len,
             "mlm_labels": labels,
             "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
             "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),

@@ -57,8 +57,12 @@ def test_chunk_size_invariance(setup):
     flat = flatten_for_forward(batch, train=False, compact_images=True)
     outs = []
     for chunk in (16, 21, 42, 64):
+        # length_buckets off: different chunk sizes then bucket sequences
+        # at different padded lengths, which changes XLA reduction order by
+        # a float-rounding epsilon (bucket exactness has its own tests)
         ev = evaluator.RankingEvaluator(TINY, chunk_size=chunk,
-                                        dtype=jnp.float32)
+                                        dtype=jnp.float32,
+                                        length_buckets=False)
         outs.append(ev.score_flat(params, flat))
     for o in outs[1:]:
         for k in o:
@@ -128,3 +132,58 @@ def test_label_budget_invariance(setup):
     np.testing.assert_allclose(np.asarray(lo["lm_nll_mean"]),
                                np.asarray(hi["lm_nll_mean"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_length_buckets_exact(setup):
+    """Sorted length-bucketed scoring == unbucketed scoring, element for
+    element: sequences are sliced to the smallest covering bucket and the
+    score vectors restored to input order."""
+    params, _ = setup
+    rng = np.random.default_rng(7)
+    B, R, O = 2, 3, 7
+    L = TINY.max_seq_len
+    batch = make_val_batch(rng, TINY, B, R, O)
+    # half the sequences short (extent <= L/2), half long, shuffled —
+    # labels inside each sequence's answer span like real data
+    ctx = np.where(rng.random((B, R, O)) < 0.5,
+                   rng.integers(8, 12, (B, R, O)),
+                   rng.integers(20, 28, (B, R, O))).astype(np.int32)
+    ans = rng.integers(2, 4, (B, R, O)).astype(np.int32)
+    labels = np.full((B, R, O, L), -1, np.int32)
+    for idx in np.ndindex(B, R, O):
+        s, e = int(ctx[idx] - ans[idx]), int(ctx[idx])
+        labels[idx][s:e] = rng.integers(0, TINY.vocab_size, e - s)
+    batch.update(ctx_end=ctx, ans_len=ans, mlm_labels=labels)
+    flat = flatten_for_forward(batch, train=False, compact_images=True)
+
+    kw = dict(chunk_size=8, dtype=jnp.float32)
+    out_b = evaluator.RankingEvaluator(TINY, length_buckets=True,
+                                       **kw).score_flat(params, flat)
+    out_p = evaluator.RankingEvaluator(TINY, length_buckets=False,
+                                       **kw).score_flat(params, flat)
+    assert out_b.keys() == out_p.keys()
+    for k in out_b:
+        np.testing.assert_allclose(out_b[k], out_p[k], rtol=2e-5, atol=2e-5,
+                                   err_msg=k)
+
+
+def test_length_buckets_exact_dis_expanded(setup):
+    """Same equality on the discriminative path with EXPANDED image staging
+    (image rows must be permuted together with the sequences)."""
+    params, _ = setup
+    rng = np.random.default_rng(9)
+    batch = make_val_batch(rng, TINY)
+    batch["mode"] = np.zeros_like(batch["mode"])
+    batch["ctx_end"] = np.where(rng.random(batch["ctx_end"].shape) < 0.5,
+                                rng.integers(6, 12, batch["ctx_end"].shape),
+                                rng.integers(20, 30, batch["ctx_end"].shape)
+                                ).astype(np.int32)
+    batch["mlm_labels"][:] = -1
+    flat = flatten_for_forward(batch, train=False, compact_images=False)
+    kw = dict(chunk_size=8, dtype=jnp.float32, need_lm=False)
+    out_b = evaluator.RankingEvaluator(TINY, length_buckets=True,
+                                       **kw).score_flat(params, flat)
+    out_p = evaluator.RankingEvaluator(TINY, length_buckets=False,
+                                       **kw).score_flat(params, flat)
+    np.testing.assert_allclose(out_b["nsp_prob"], out_p["nsp_prob"],
+                               rtol=2e-5, atol=2e-5)
