@@ -35,11 +35,18 @@ def make_batch(seed, cfg, nb=None):
     rng = np.random.default_rng(seed)
     nb = nb or B
     L, R = cfg.max_seq_len, cfg.max_regions
+    ctx_end = rng.integers(60, 200, nb).astype(np.int32)
+    ans_len = rng.integers(2, 9, nb).astype(np.int32)
     labels = np.full((nb, L), -1, np.int32)
     n_lab = rng.integers(10, 40, nb)
     for i in range(nb):
-        pos = rng.permutation(L - 2)[: n_lab[i]] + 1
-        labels[i, pos] = rng.integers(0, cfg.vocab_size, n_lab[i])
+        # label positions inside the sequence's real extent (answer span +
+        # corrupted context), like the data pipeline produces — earlier
+        # revisions scattered them over the whole padded length
+        hi = max(int(ctx_end[i]) - 2, 12)
+        k = min(int(n_lab[i]), hi)
+        pos = rng.permutation(hi)[:k] + 1
+        labels[i, pos] = rng.integers(0, cfg.vocab_size, k)
     w = np.zeros((nb, L), np.float32)
     w[labels != -1] = 1.0
     w[: nb // 4][labels[: nb // 4] != -1] = -1.0   # UL portion
@@ -47,8 +54,8 @@ def make_batch(seed, cfg, nb=None):
         "tokens": rng.integers(1, cfg.vocab_size, (nb, L)).astype(np.int32),
         "segments": rng.integers(0, 2, (nb, L)).astype(np.int32),
         "mode": rng.integers(0, 2, nb).astype(np.int32),
-        "ctx_end": rng.integers(60, 200, nb).astype(np.int32),
-        "ans_len": rng.integers(2, 9, nb).astype(np.int32),
+        "ctx_end": ctx_end,
+        "ans_len": ans_len,
         "mlm_labels": labels, "lm_weight": w,
         "next_sentence_label": rng.integers(0, 2, nb).astype(np.int32),
         "image_feat": rng.normal(size=(nb, R, 2048)).astype(np.float32),
@@ -103,9 +110,11 @@ def bench(name):
             break
     if "+" in name:
         raise SystemExit(f"unknown optimizer suffix in {label!r}")
-    micro, ksteps = B, 1
+    micro, ksteps, sort_buckets = B, 1, False
     if "@" in name:
         name, spec = name.split("@", 1)
+        if spec.endswith("s"):      # 's': sort morsels by extent + slice
+            sort_buckets, spec = True, spec[:-1]
         m_s, k_s = spec.split("x")
         micro, ksteps = int(m_s), int(k_s)
     cfg = variant_cfg(name)
@@ -132,8 +141,32 @@ def bench(name):
     state = tstep.init_state(params, tx, seed=0)
     train_step = tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16)
     nsp_weight = jnp.asarray([1.0, 1.0])
-    batches = [[make_batch(s * ksteps + j, cfg, micro)
-                for j in range(ksteps)] for s in range(3)]
+    def make_group(s):
+        if not sort_buckets:
+            return [make_batch(s * ksteps + j, cfg, micro)
+                    for j in range(ksteps)]
+        # one effective batch, sorted by attended extent, split into
+        # ksteps morsels each sliced to its covering quarter-length bucket
+        full = {k: np.asarray(v)
+                for k, v in make_batch(s, cfg, micro * ksteps).items()}
+        ext = np.where(full["mode"] == 0, full["ctx_end"],
+                       np.clip(full["ctx_end"] + full["ans_len"], 1,
+                               cfg.max_seq_len))
+        ext = np.maximum(ext, ((full["mlm_labels"] != -1) *
+                               np.arange(1, cfg.max_seq_len + 1)).max(-1))
+        order = np.argsort(ext, kind="stable")
+        q = cfg.max_seq_len // 4
+        groups = []
+        for j in range(ksteps):
+            idx = order[j * micro:(j + 1) * micro]
+            Lb = min(-(-int(ext[idx].max()) // q) * q, cfg.max_seq_len)
+            m = {k: v[idx] for k, v in full.items()}
+            for k in ("tokens", "segments", "mlm_labels", "lm_weight"):
+                m[k] = np.ascontiguousarray(m[k][:, :Lb])
+            groups.append({k: jnp.asarray(v) for k, v in m.items()})
+        return groups
+
+    batches = [make_group(s) for s in range(3)]
     for group in batches:  # compile + warm
         for b in group:
             state, m = train_step(state, b, nsp_weight)

@@ -22,12 +22,32 @@ import jax.numpy as jnp
 
 from unimm_tpu import checkpoint as C
 from unimm_tpu.cli import common, options
-from unimm_tpu.data.dataset import VisdialDataset, flatten_for_forward
+from unimm_tpu.data.dataset import (VisdialDataset, flatten_for_forward,
+                                    length_bucket_morsels)
 from unimm_tpu.data.loader import DataLoader
 from unimm_tpu.eval import evaluator
 from unimm_tpu.parallel import mesh as pmesh
 from unimm_tpu.train import optim, step as tstep
 from unimm_tpu.utils.logging import MetricsLogger
+
+
+def _log_step(iter_id, metrics, num_iter_epoch, dataset, viz, start_t):
+    m = {k: float(v) for k, v in metrics.items()}
+    dt = time.perf_counter() - start_t
+    overflow = int(m.get("label_budget_overflow", 0))
+    fallbacks = dataset.stats["neg_truncation_fallbacks"]
+    print(f"[Ep: {iter_id / num_iter_epoch:.2f}][Iter: {iter_id}]"
+          f"[Time: {dt:5.2f}s]"
+          f"[NSP + LM Loss: {m['lm_loss'] + m['nsp_loss']:.3g}]"
+          f"[LM Loss: {m['lm_loss']:.3g}]"
+          f"[NSP Loss: {m['nsp_loss']:.3g}]"
+          f"[IMG Loss: {m['img_loss']:.3g}]"
+          f"[LabelOverflow: {overflow}]"
+          f"[NegFallbacks: {fallbacks}]")
+    viz.line_plot(iter_id, m["loss"], "loss", "tot loss")
+    viz.line_plot(iter_id, m["lm_loss"], "loss", "lm loss")
+    viz.line_plot(iter_id, m["nsp_loss"], "loss", "nsp loss")
+    viz.line_plot(iter_id, m["img_loss"], "loss", "img loss")
 
 
 def main(argv=None):
@@ -140,44 +160,66 @@ def main(argv=None):
     host_rng = np.random.default_rng(
         params["seed"] if nproc == 1 else (params["seed"], rank))
 
+    # length-bucketed accumulation: buffer batch_multiply flats, sort all
+    # their sequences by attended extent and run the accumulation
+    # micro-steps at per-morsel quarter-length buckets (655 -> 531 ms per
+    # effective 240-batch on v5e, scripts/bench_train.py '@80x3s').
+    # Single-process only: morsel bucket lengths are data-dependent and
+    # every process would need the same global shapes.
+    k_buckets = (params["batch_multiply"]
+                 if params["length_buckets"] and nproc == 1 and
+                 params["batch_multiply"] > 1 else 1)
+    flat_buffer = []
+
     iter_id = start_iter
     profiler = common.StepProfiler(params["profile_dir"])
     start_t = time.perf_counter()
-    for epoch_id in range(1, params["num_epochs"] + 1):
-        loader.set_epoch(epoch_id)
-        for batch in loader:
+
+    def run_morsels(morsels):
+        nonlocal iter_id, state, start_t
+        for flat in morsels:
             iter_id += 1
             profiler.step(iter_id)
+            host_labels = flat["mlm_labels"]
+            sharded = pmesh.shard_batch(flat, mesh)
+            state, metrics = train_step(state, sharded, nsp_weight,
+                                        host_mlm_labels=host_labels)
+            if iter_id % 100 == 0:
+                _log_step(iter_id, metrics, num_iter_epoch, dataset,
+                          viz, start_t)
+                start_t = time.perf_counter()
+            if params["overfit"] and iter_id % 100 == 0:
+                return True
+        return False
+
+    for epoch_id in range(1, params["num_epochs"] + 1):
+        loader.set_epoch(epoch_id)
+        stop_epoch = False
+        for batch in loader:
             # compact per-image staging indexes process-local arrays; under
             # multi-process the batch must be fully per-sequence (expanded)
             flat = flatten_for_forward(batch, sample_size=sample_size,
                                        rng=host_rng,
                                        compact_images=(nproc == 1))
-            host_labels = flat["mlm_labels"]
-            flat = pmesh.shard_batch(flat, mesh)
-            state, metrics = train_step(state, flat, nsp_weight,
-                                        host_mlm_labels=host_labels)
-
-            if iter_id % 100 == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                dt = time.perf_counter() - start_t
-                start_t = time.perf_counter()
-                overflow = int(m.get("label_budget_overflow", 0))
-                fallbacks = dataset.stats["neg_truncation_fallbacks"]
-                print(f"[Ep: {iter_id / num_iter_epoch:.2f}][Iter: {iter_id}]"
-                      f"[Time: {dt:5.2f}s]"
-                      f"[NSP + LM Loss: {m['lm_loss'] + m['nsp_loss']:.3g}]"
-                      f"[LM Loss: {m['lm_loss']:.3g}]"
-                      f"[NSP Loss: {m['nsp_loss']:.3g}]"
-                      f"[IMG Loss: {m['img_loss']:.3g}]"
-                      f"[LabelOverflow: {overflow}]"
-                      f"[NegFallbacks: {fallbacks}]")
-                viz.line_plot(iter_id, m["loss"], "loss", "tot loss")
-                viz.line_plot(iter_id, m["lm_loss"], "loss", "lm loss")
-                viz.line_plot(iter_id, m["nsp_loss"], "loss", "nsp loss")
-                viz.line_plot(iter_id, m["img_loss"], "loss", "img loss")
-            if params["overfit"] and iter_id % 100 == 0:
+            if k_buckets > 1:
+                flat_buffer.append(flat)
+                if len(flat_buffer) < k_buckets:
+                    continue
+                morsels = length_bucket_morsels(flat_buffer,
+                                                cfg.max_seq_len, k_buckets)
+                flat_buffer = []
+            else:
+                morsels = [flat]
+            if run_morsels(morsels):
+                stop_epoch = True
                 break
+        if flat_buffer and not stop_epoch:
+            # epoch-end remainder (num_iter_epoch % batch_multiply != 0, or
+            # 1-batch overfit epochs): flush as shorter morsel groups so no
+            # loader batch is ever silently dropped
+            run_morsels(length_bucket_morsels(flat_buffer, cfg.max_seq_len,
+                                              len(flat_buffer)))
+            flat_buffer = []
 
         if epoch_id % params["save_every_epochs"] == 0:
             # multi-process: gather shards to host in bounded groups so the
