@@ -50,16 +50,17 @@ def main():
     B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
 
     def make_val_batch():
-        # label tokens sit in the answer span [ctx_end - ans_len, ctx_end)
-        # like real val_lm data (the scored answer IS the label span);
+        # label tokens sit in the masked SECOND answer copy
+        # [ctx_end, ctx_end + ans_len) like real val_lm data
+        # (data/encoding.py encode_gen flags the copy starting AT ctx_end);
         # earlier revisions parked them at a fixed 200:208 window, which
         # contradicted the descriptors' own layout
         ctx_end = rng.integers(60, 200, (B, R, O)).astype(np.int32)
         ans_len = rng.integers(2, 9, (B, R, O)).astype(np.int32)
         labels = np.full((B, R, O, L), -1, np.int32)
         pos = np.arange(L)[None, None, None, :]
-        span = (pos >= (ctx_end - ans_len)[..., None]) & \
-               (pos < ctx_end[..., None])
+        span = (pos >= ctx_end[..., None]) & \
+               (pos < (ctx_end + ans_len)[..., None])
         labels[span] = rng.integers(0, cfg.vocab_size, int(span.sum()))
         return {
             "tokens": rng.integers(1, cfg.vocab_size,

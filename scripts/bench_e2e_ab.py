@@ -40,13 +40,14 @@ def run(spec, chunk=250):
     B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
 
     def make_val_batch():
-        # labels in the answer span, matching bench.py / real val_lm layout
+        # labels in the masked second answer copy [ctx_end, ctx_end+ans),
+        # matching bench.py / real val_lm layout (encode_gen)
         ctx_end = rng.integers(60, 200, (B, R, O)).astype(np.int32)
         ans_len = rng.integers(2, 9, (B, R, O)).astype(np.int32)
         labels = np.full((B, R, O, L), -1, np.int32)
         pos = np.arange(L)[None, None, None, :]
-        span = (pos >= (ctx_end - ans_len)[..., None]) & \
-               (pos < ctx_end[..., None])
+        span = (pos >= ctx_end[..., None]) & \
+               (pos < (ctx_end + ans_len)[..., None])
         labels[span] = rng.integers(0, cfg.vocab_size, int(span.sum()))
         return {
             "tokens": rng.integers(1, cfg.vocab_size,

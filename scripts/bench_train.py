@@ -145,26 +145,15 @@ def bench(name):
         if not sort_buckets:
             return [make_batch(s * ksteps + j, cfg, micro)
                     for j in range(ksteps)]
-        # one effective batch, sorted by attended extent, split into
-        # ksteps morsels each sliced to its covering quarter-length bucket
-        full = {k: np.asarray(v)
-                for k, v in make_batch(s, cfg, micro * ksteps).items()}
-        ext = np.where(full["mode"] == 0, full["ctx_end"],
-                       np.clip(full["ctx_end"] + full["ans_len"], 1,
-                               cfg.max_seq_len))
-        ext = np.maximum(ext, ((full["mlm_labels"] != -1) *
-                               np.arange(1, cfg.max_seq_len + 1)).max(-1))
-        order = np.argsort(ext, kind="stable")
-        q = cfg.max_seq_len // 4
-        groups = []
-        for j in range(ksteps):
-            idx = order[j * micro:(j + 1) * micro]
-            Lb = min(-(-int(ext[idx].max()) // q) * q, cfg.max_seq_len)
-            m = {k: v[idx] for k, v in full.items()}
-            for k in ("tokens", "segments", "mlm_labels", "lm_weight"):
-                m[k] = np.ascontiguousarray(m[k][:, :Lb])
-            groups.append({k: jnp.asarray(v) for k, v in m.items()})
-        return groups
+        # the production regrouping (sort by extent, quarter-length
+        # buckets, group-level lm_norm) — data/dataset.py
+        from unimm_tpu.data.dataset import length_bucket_morsels
+        flats = [{k: np.asarray(v) for k, v in
+                  make_batch(s * ksteps + j, cfg, micro).items()}
+                 for j in range(ksteps)]
+        return [{k: jnp.asarray(v) for k, v in m.items()}
+                for m in length_bucket_morsels(flats, cfg.max_seq_len,
+                                               ksteps)]
 
     batches = [make_group(s) for s in range(3)]
     for group in batches:  # compile + warm

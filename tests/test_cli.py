@@ -216,17 +216,20 @@ def test_train_continue_from_reference_ckpt(cli_world):
 
 
 def test_train_cli_length_bucketed_accumulation(cli_world):
-    """-batch_multiply 2 -length_buckets 1: the loop buffers 2 flats,
-    re-sorts them into bucketed morsels, and still steps/learns/saves."""
+    """-batch_multiply 2 -length_buckets 1: the loop buffers pairs of
+    flats IN-LOOP (6 fixture images / 2 per batch = 3 batches per epoch:
+    one pair + one epoch-end remainder flush), re-sorts them into bucketed
+    morsels, and still steps/learns/saves."""
     from unimm_tpu.cli import train
     os.chdir(cli_world["root"])
     state = train.main(_argv(cli_world, [
-        "-overfit", "-num_epochs", "4", "-batch_size", "12",
+        "-num_epochs", "2", "-batch_size", "12",
         "-sequences_per_image", "6", "-num_negative_samples", "1",
         "-batch_multiply", "2", "-length_buckets", "1",
-        "-eval_every_epochs", "100", "-save_every_epochs", "4",
+        "-eval_every_epochs", "100", "-save_every_epochs", "2",
         "-save_name", "t_train_lb"]))
-    # 4 epochs x 1 loader batch, buffered in pairs -> 4 micro-steps
-    assert int(np.asarray(state["step"])) == 4
+    # 2 epochs x 3 loader batches (2 images each, drop_last) -> 6
+    # micro-steps: per epoch one buffered pair + one remainder flush
+    assert int(np.asarray(state["step"])) == 6
     ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_train_lb")
     assert any(f.endswith(".ckpt") for f in os.listdir(ckpt_dir))

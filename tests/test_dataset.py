@@ -142,76 +142,71 @@ def test_neg_fallback_counter(world):
     assert ds2.stats["neg_truncation_fallbacks"] == 0
 
 
-def test_length_bucket_morsels_partition_and_compact_images():
-    """Morsels partition all sequences, slice to covering buckets, and
-    re-index compact image staging so each morsel's (img_index -> image)
-    mapping matches the original rows."""
+def test_length_bucket_morsels_partition_and_norm():
+    """Morsels partition all sequences, slice per-token arrays to covering
+    buckets, leave sep_indices untouched, and carry the group-level
+    lm_norm = total label-token count / k."""
     import numpy as np
 
     from unimm_tpu.data.dataset import length_bucket_morsels
 
-    rng = np.random.default_rng(0)
     L, R, k, n = 64, 5, 3, 12
 
     def make_flat(seed):
         r = np.random.default_rng(seed)
-        n_img = 4
         ctx = r.integers(6, 60, n).astype(np.int32)
         ans = r.integers(2, 4, n).astype(np.int32)
         labels = np.full((n, L), -1, np.int32)
         for i in range(n):
-            s, e = int(ctx[i] - ans[i]), int(ctx[i])
-            labels[i, s:e] = r.integers(0, 50, e - s)
+            s_, e_ = int(ctx[i] - ans[i]), int(ctx[i])
+            labels[i, s_:e_] = r.integers(0, 50, e_ - s_)
         return {
             "tokens": r.integers(1, 50, (n, L)).astype(np.int32),
             "segments": r.integers(0, 2, (n, L)).astype(np.int32),
+            "positions": np.tile(np.arange(L, dtype=np.int32), (n, 1)),
+            "sep_indices": r.integers(0, L, (n, 25)).astype(np.int32),
             "mode": r.integers(0, 2, n).astype(np.int32),
             "ctx_end": ctx, "ans_len": ans, "mlm_labels": labels,
             "lm_weight": (labels != -1).astype(np.float32),
             "next_sentence_label": r.integers(0, 2, n).astype(np.int32),
-            "image_feat": r.normal(size=(n_img, R, 8)).astype(np.float32),
-            "image_loc": r.normal(size=(n_img, R, 5)).astype(np.float32),
-            "image_mask": np.ones((n_img, R), np.float32),
-            "image_target": r.random((n_img, R, 7)).astype(np.float32),
-            "image_label": r.integers(-1, 2, (n_img, R)).astype(np.int32),
-            "img_index": r.integers(0, n_img, n).astype(np.int32),
+            "image_feat": r.normal(size=(n, R, 8)).astype(np.float32),
+            "image_loc": r.normal(size=(n, R, 5)).astype(np.float32),
+            "image_mask": np.ones((n, R), np.float32),
         }
 
     flats = [make_flat(s) for s in range(k)]
+    total_labels = sum(float((f["lm_weight"] != 0).sum()) for f in flats)
     morsels = length_bucket_morsels(flats, L, k)
     assert len(morsels) == k
 
     # every original sequence appears exactly once (match by token prefix;
-    # morsels have different sliced lengths by design)
-    orig_rows = {tuple(t[:8]) for f in flats
-                 for t in np.asarray(f["tokens"])}
-    got_rows = [tuple(t[:8]) for m in morsels
-                for t in np.asarray(m["tokens"])]
-    assert len(got_rows) == sum(f["tokens"].shape[0] for f in flats)
-    assert set(got_rows) == orig_rows
+    # morsels have different sliced lengths by design), with its own image
+    orig_rows = {tuple(t[:8]) for f in flats for t in f["tokens"]}
+    orig_imgs = {tuple(t[:8]): f["image_feat"][i].tobytes()
+                 for f in flats for i, t in enumerate(f["tokens"])}
+    got_rows = [tuple(t[:8]) for m in morsels for t in m["tokens"]]
+    assert len(got_rows) == k * n and set(got_rows) == orig_rows
 
-    # build (token-row -> image row) maps and compare original vs morsel
-    def image_of(flat_like):
-        feats = np.asarray(flat_like["image_feat"])
-        return {tuple(t[:8]): feats[i].tobytes()
-                for t, i in zip(np.asarray(flat_like["tokens"])[:, :8],
-                                np.asarray(flat_like["img_index"]))}
-
-    orig_map = {}
-    for f in flats:
-        orig_map.update(image_of(f))
     for m in morsels:
         Lb = m["tokens"].shape[1]
         assert Lb % (L // 4) == 0 and Lb <= L
-        # extents respected: every label position < Lb
+        assert m["sep_indices"].shape == (len(m["tokens"]), 25)  # not cut
+        assert m["positions"].shape[1] == Lb
         lab_pos = (m["mlm_labels"] != -1) * np.arange(1, Lb + 1)
         assert lab_pos.max() <= Lb
         ext = np.where(m["mode"] == 0, m["ctx_end"],
                        m["ctx_end"] + m["ans_len"])
         assert np.clip(ext, 1, L).max() <= Lb
-        for key, img_bytes in image_of(m).items():
-            assert orig_map[key] == img_bytes
+        np.testing.assert_allclose(float(m["lm_norm"]), total_labels / k)
+        for i, t in enumerate(m["tokens"]):
+            assert orig_imgs[tuple(t[:8])] == m["image_feat"][i].tobytes()
 
-    # morsels ascend in bucket length (sorted by extent)
     Ls = [m["tokens"].shape[1] for m in morsels]
-    assert Ls == sorted(Ls)
+    assert Ls == sorted(Ls)   # morsels ascend (sorted by extent)
+
+    # compact inputs are rejected (data-dependent shapes)
+    import pytest
+    bad = dict(flats[0])
+    bad["img_index"] = np.zeros(n, np.int32)
+    with pytest.raises(AssertionError):
+        length_bucket_morsels([bad] * k, L, k)

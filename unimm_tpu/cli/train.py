@@ -197,10 +197,13 @@ def main(argv=None):
         stop_epoch = False
         for batch in loader:
             # compact per-image staging indexes process-local arrays; under
-            # multi-process the batch must be fully per-sequence (expanded)
-            flat = flatten_for_forward(batch, sample_size=sample_size,
-                                       rng=host_rng,
-                                       compact_images=(nproc == 1))
+            # multi-process the batch must be fully per-sequence (expanded),
+            # and length-bucketed morsels need expanded rows too (a pruned
+            # per-morsel image set would have data-dependent shapes ->
+            # unbounded jit/Pallas recompilation)
+            flat = flatten_for_forward(
+                batch, sample_size=sample_size, rng=host_rng,
+                compact_images=(nproc == 1 and k_buckets == 1))
             if k_buckets > 1:
                 flat_buffer.append(flat)
                 if len(flat_buffer) < k_buckets:

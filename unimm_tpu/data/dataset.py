@@ -459,65 +459,60 @@ def length_bucket_morsels(flats, max_len: int, k: int):
     """Regroup ``k`` flat training batches into ``k`` length-bucketed
     accumulation morsels.
 
-    All sequences are sorted by their true attended extent (dis: ctx_end;
-    gen: ctx_end + ans_len — every row beyond is fully masked,
-    ops/masks.py; label positions bound it too as a guard), split into k
-    equal morsels, and each morsel's [.., L] arrays are sliced to the
-    smallest covering multiple of max_len/4. Attention is ~quadratic and
-    the FFN linear in L, so under gradient accumulation
-    (optax.MultiSteps) the short morsels run at a quarter to half cost —
-    measured 655 -> 531 ms per effective 240-batch on v5e
-    (scripts/bench_train.py '@80x3s'). Gradient semantics match plain
-    accumulation up to the (reference-faithful) per-microbatch loss
-    normalisation grouping.
+    All sequences are sorted by their true attended extent
+    (ops/masks.attended_extent — every row beyond it is fully masked),
+    split into k equal morsels, and each morsel's per-token [.., L] arrays
+    are sliced to the smallest covering multiple of max_len/4
+    (masks.quarter_bucket). Attention is ~quadratic and the FFN linear in
+    L, so under gradient accumulation (optax.MultiSteps) the short morsels
+    run at a quarter to half cost — measured 655 -> 531 ms per effective
+    240-batch on v5e (scripts/bench_train.py '@80x3s').
 
-    Compact image staging (img_index) is preserved: each morsel carries
-    only the image rows its sequences reference, re-indexed.
+    Two design points for exactness/stability:
+
+    * inputs must use EXPANDED per-sequence image arrays (no img_index):
+      compact per-image staging would make the morsel image-array shapes
+      data-dependent (the unique-image count varies step to step), forcing
+      a fresh jit trace + remote Pallas compile per shape. Expanded rows
+      are static [m, ...] and carry a similar number of bytes at training
+      subsample rates.
+    * every morsel gets ``lm_norm`` = (total label-token count of the
+      whole group) / k. Extent sorting correlates a morsel's label count
+      with its length, so normalising each micro-loss by its OWN count
+      would systematically up-weight short-dialog tokens; the group-level
+      normaliser restores the unsorted gradient's expectation
+      (unimm.lm_loss_and_heads consumes it).
     """
     assert len(flats) == k and k >= 1
-    compact = "img_index" in flats[0]
-    img_keys = [key for key in _IMG_KEYS if key in flats[0]]
-    cat = {}
-    for key in flats[0]:
-        if compact and key in img_keys:
-            continue
-        cat[key] = np.concatenate([np.asarray(f[key]) for f in flats])
-    if compact:
-        imgs = {key: np.concatenate([np.asarray(f[key]) for f in flats])
-                for key in img_keys}
-        offs, n = [], 0
-        for f in flats:
-            offs.append(n)
-            n += np.asarray(f[img_keys[0]]).shape[0]
-        cat["img_index"] = np.concatenate(
-            [np.asarray(f["img_index"]) + o for f, o in zip(flats, offs)])
-
+    assert "img_index" not in flats[0], \
+        "length_bucket_morsels requires expanded per-sequence image arrays"
+    cat = {key: np.concatenate([np.asarray(f[key]) for f in flats])
+           for key in flats[0]}
     N = cat["tokens"].shape[0]
     m = N // k
-    ext = np.where(np.asarray(cat["mode"]) == 0, cat["ctx_end"],
-                   cat["ctx_end"] + cat["ans_len"])
-    if "mlm_labels" in cat:
-        ext = np.maximum(ext, ((cat["mlm_labels"] != -1) *
-                               np.arange(1, cat["mlm_labels"].shape[-1] + 1)
-                               ).max(axis=-1))
-    ext = np.clip(ext, 1, max_len)
+    from unimm_tpu.ops import masks as _masks
+    ext = _masks.attended_extent(cat["mode"], cat["ctx_end"],
+                                 cat["ans_len"], max_len,
+                                 cat.get("mlm_labels"))
     order = np.argsort(ext, kind="stable")
-    q = max_len // 4 if max_len % 4 == 0 else max_len
+    lm_norm = None
+    if "lm_weight" in cat:
+        lm_norm = np.float32(
+            max(float((cat["lm_weight"] != 0).sum()), 1.0) / k)
 
     morsels = []
     for j in range(k):
         idx = order[j * m:(j + 1) * m] if j < k - 1 else order[(k - 1) * m:]
         morsel = {key: v[idx] for key, v in cat.items()}
-        Lb = min(-(-int(ext[idx].max()) // q) * q, max_len)
+        Lb = _masks.quarter_bucket(int(ext[idx].max()), max_len)
         if Lb < max_len:
-            for key in ("tokens", "segments", "positions", "sep_indices",
-                        "mlm_labels", "lm_weight"):
+            # per-token arrays only — 'sep_indices' is a short list of SEP
+            # positions, not an [N, L] array, and must not be cut
+            for key in ("tokens", "segments", "positions", "mlm_labels",
+                        "lm_weight"):
                 if key in morsel:
                     morsel[key] = np.ascontiguousarray(morsel[key][:, :Lb])
-        if compact:
-            uniq, inv = np.unique(morsel["img_index"], return_inverse=True)
-            morsel["img_index"] = inv.astype(np.int32)
-            for key in img_keys:
-                morsel[key] = imgs[key][uniq]
+        if lm_norm is not None:
+            morsel["lm_norm"] = lm_norm
         morsels.append(morsel)
     return morsels

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from unimm_tpu.config import VilbertConfig
 from unimm_tpu.models import unimm
+from unimm_tpu.ops import masks as M_masks
 from unimm_tpu.ops import metrics as M
 
 # per-chunk sequence arrays. 'positions'/'sep_indices' are intentionally NOT
@@ -123,32 +124,19 @@ class RankingEvaluator:
         return min(p, unimm.MAX_LABEL_POSITIONS)
 
     def _length_order(self, flat):
-        """(sort order, per-chunk length buckets) by true attended extent."""
-        Lmax = flat["tokens"].shape[-1]
-        mode = np.asarray(flat["mode"])
-        ext = np.where(mode == 0, np.asarray(flat["ctx_end"]),
-                       np.asarray(flat["ctx_end"]) +
-                       np.asarray(flat["ans_len"]))
-        if "mlm_labels" in flat and self._need_lm:
-            # real label positions always sit inside the masked extent; the
-            # guard keeps bucketing exact even for synthetic inputs that put
-            # labels past it
-            labs = np.asarray(flat["mlm_labels"])
-            ext = np.maximum(ext, ((labs != -1) *
-                                   np.arange(1, Lmax + 1)).max(axis=-1))
-        ext = np.clip(ext, 1, Lmax)
+        """(sort order, sorted extents) by true attended extent
+        (ops/masks.attended_extent; the mlm_labels guard keeps bucketing
+        exact even for synthetic inputs with labels past the extent).
+        Buckets are the multiples of Lmax/4 (masks.quarter_bucket) — at
+        most 4 compiled executables per (chunk, label-bucket) point.
+        Measured on the val_lm bench (v5e): halves {128, 256} 1.86 -> 2.20
+        d/s/chip, quarters {64, 128, 192, 256} -> 2.51 (+35% total)."""
+        ext = M_masks.attended_extent(
+            flat["mode"], flat["ctx_end"], flat["ans_len"],
+            flat["tokens"].shape[-1],
+            flat.get("mlm_labels") if self._need_lm else None)
         order = np.argsort(ext, kind="stable")
         return order, ext[order]
-
-    def _length_bucket(self, ext_max: int, Lmax: int) -> int:
-        """Smallest covering bucket: the multiples of Lmax/4 — at most 4
-        compiled executables per (chunk, label-bucket) point. Measured on
-        the val_lm bench (v5e): halves {128, 256} 1.86 -> 2.20 d/s/chip,
-        quarters {64, 128, 192, 256} -> 2.51 (+35% total)."""
-        if Lmax % 4:
-            return Lmax
-        q = Lmax // 4
-        return min(-(-max(ext_max, 1) // q) * q, Lmax)
 
     def score_flat(self, params, flat: Dict[str, np.ndarray]) -> dict:
         """Score a flat [N, ...] batch in fixed-size padded chunks.
@@ -191,7 +179,7 @@ class RankingEvaluator:
                     [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
                     chunk.items()}
             if order is not None:
-                Lb = self._length_bucket(int(ext_sorted[s:e].max()), Lmax)
+                Lb = M_masks.quarter_bucket(int(ext_sorted[s:e].max()), Lmax)
                 if Lb < Lmax:
                     for k in ("tokens", "segments", "mlm_labels"):
                         if k in chunk:

@@ -274,6 +274,11 @@ def lm_loss_and_heads(params, cfg: VilbertConfig, t_seq, v_seq, pooled_t,
     reference always materialises them, vilbert_dialog.py:1069); 'dense' is
     the exactness oracle. Shared by forward_train and the dense-finetuning
     step."""
+    # optional normaliser override: length-bucketed accumulation morsels
+    # pass lm_norm = (group label-token count) / k so sorted morsels keep
+    # the unsorted gradient's expectation (data/dataset.py
+    # length_bucket_morsels); absent -> per-batch count (reference exact)
+    norm = batch.get("lm_norm")
     if cfg.mlm_loss_impl == "gathered":
         pos, labs = label_positions(batch["mlm_labels"],
                                     cfg.max_train_label_positions)
@@ -283,8 +288,8 @@ def lm_loss_and_heads(params, cfg: VilbertConfig, t_seq, v_seq, pooled_t,
             hidden.dtype)
         bias = params["cls"]["predictions"]["bias"].astype(jnp.float32)
         nll = L.online_softmax_xent_vjp(hidden, decoder, bias, labs)
-        num_tokens = jnp.sum(
-            (batch["lm_weight"] != 0).astype(jnp.float32))
+        num_tokens = (norm if norm is not None else jnp.sum(
+            (batch["lm_weight"] != 0).astype(jnp.float32)))
         lm = L.masked_lm_ul_loss_gathered(nll, labs, w_g, num_tokens)
         img_logits, nsp_logits = vilbert.nsp_and_img_heads(
             params, cfg, v_seq, pooled_t, pooled_v, train=train, rng=rng)
@@ -293,7 +298,7 @@ def lm_loss_and_heads(params, cfg: VilbertConfig, t_seq, v_seq, pooled_t,
             params, cfg, t_seq, v_seq, pooled_t, pooled_v, train=train,
             rng=rng)
         lm = L.masked_lm_ul_loss(mlm_logits, batch["mlm_labels"],
-                                 batch["lm_weight"])
+                                 batch["lm_weight"], num_tokens=norm)
     return lm, img_logits, nsp_logits
 
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 CLAMP_MIN = 1e-6  # vilbert_dialog.py:1558
 
 
-def masked_lm_ul_loss(mlm_logits, labels, lm_weight):
+def masked_lm_ul_loss(mlm_logits, labels, lm_weight, num_tokens=None):
     """MLM likelihood + unlikelihood loss (vilbert_dialog.py:1577-1595).
 
     Args:
@@ -23,6 +23,8 @@ def masked_lm_ul_loss(mlm_logits, labels, lm_weight):
       labels: [N, L] int; -1 = ignore ("masked_tokens" channel).
       lm_weight: [N, L] float; >0 likelihood weight, -1 unlikelihood marker,
         0 = no loss.
+      num_tokens: optional normaliser override (length-bucketed morsels
+        pass the accumulation group's count / k, unimm.lm_loss_and_heads).
     Returns scalar: (sum w*nll[w>0] + sum -log(1-p)[w==-1]) / count(w != 0).
     """
     logits = mlm_logits.astype(jnp.float32)
@@ -43,7 +45,8 @@ def masked_lm_ul_loss(mlm_logits, labels, lm_weight):
     ul_nll = -jnp.log(jnp.clip(1.0 - p, min=CLAMP_MIN))
     ul_sum = jnp.sum(jnp.where(ul_mask, ul_nll, 0.0))
 
-    num_tokens = jnp.sum((w != 0).astype(jnp.float32))
+    if num_tokens is None:
+        num_tokens = jnp.sum((w != 0).astype(jnp.float32))
     return (l_sum + ul_sum) / jnp.maximum(num_tokens, 1.0)
 
 

@@ -127,3 +127,35 @@ def co_attention_bias(mode, ctx_end, ans_len, max_len: int, dtype=jnp.float32):
     return to_additive(co_text_mask(mode, ctx_end, ans_len, max_len), dtype)[
         ..., None, None, :
     ]
+
+
+def attended_extent(mode, ctx_end, ans_len, max_len: int, mlm_labels=None):
+    """Host-side (numpy) per-sequence attended extent: the first row/column
+    index beyond which the self-attention mask is ALL ZERO.
+
+    dis: ctx_end (rows/cols >= L are never attended); gen: ctx_end +
+    ans_len (rows >= T are all-zero and no valid row attends past T).
+    When ``mlm_labels`` is given, label positions bound the extent too — a
+    guard for synthetic inputs; real labels always sit inside it. Used by
+    the length-bucketed evaluator and training morsels: scoring/training a
+    sequence at any padded length >= its extent is exact under the masks.
+    """
+    import numpy as np
+
+    mode = np.asarray(mode)
+    ext = np.where(mode == 0, np.asarray(ctx_end),
+                   np.asarray(ctx_end) + np.asarray(ans_len))
+    if mlm_labels is not None:
+        labs = np.asarray(mlm_labels)
+        ext = np.maximum(ext, ((labs != -1) *
+                               np.arange(1, labs.shape[-1] + 1)).max(-1))
+    return np.clip(ext, 1, max_len)
+
+
+def quarter_bucket(ext_max: int, max_len: int) -> int:
+    """Smallest multiple of max_len/4 covering ``ext_max`` (== max_len when
+    max_len is not divisible by 4) — the shared length-bucket rule."""
+    if max_len % 4:
+        return max_len
+    q = max_len // 4
+    return min(-(-max(int(ext_max), 1) // q) * q, max_len)
