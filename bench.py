@@ -80,8 +80,8 @@ def main():
     # 1000 -> 1.63 dialogs/s/chip; 250 wins (host->device staging of the
     # next chunk overlaps device compute of the current one).
     # Round 3: the evaluator scores in ascending-extent order at per-chunk
-    # length buckets {64, 128, 192, 256} (exact under the descriptor
-    # masks) — 1.86 -> 2.51 d/s/chip on this protocol
+    # length buckets (multiples of L/8, exact under the descriptor masks)
+    # — 1.86 -> 2.59 d/s/chip on this protocol
     for chunk in (250, 125):
         try:
             ev = RankingEvaluator(cfg, chunk_size=chunk, dtype=jnp.bfloat16,

@@ -42,14 +42,14 @@ _IMG_KEYS = ("image_feat", "image_loc", "image_mask")
 class RankingEvaluator:
     def __init__(self, cfg: VilbertConfig, *, chunk_size: int = 256,
                  dtype=jnp.bfloat16, need_lm=True, need_nsp=True, mesh=None,
-                 length_buckets=True):
+                 length_buckets=True, bucket_div: int = 8):
         """``mesh``: optional jax.sharding.Mesh — eval chunks are dp-sharded
         across it (multi-chip serving; chunk_size must divide the dp axis).
 
         ``length_buckets``: score sequences sorted by their true attended
         extent (dis: ctx_end; gen: min(ctx_end + ans_len, L) — rows beyond
         are fully masked, ops/masks.py), each chunk sliced to the smallest
-        covering bucket in {L/2, L}. Attention cost is ~quadratic and FFN
+        covering multiple of L/bucket_div. Attention cost is ~quadratic, FFN
         linear in sequence length, and real VisDial rounds grow from short
         to long, so sorting makes early-round chunks run at half length.
         EXACT: masked-out columns contribute exp(-1e4)=0 to the fp32
@@ -61,6 +61,10 @@ class RankingEvaluator:
         self.dtype = dtype
         self.mesh = mesh
         self.length_buckets = length_buckets
+        # bucket granularity: buckets are multiples of max_len/bucket_div;
+        # div 8 beat div 4 on the val_lm bench (2.51 -> 2.59 d/s/chip) and
+        # bounds the compiled executables at 8 per (chunk, label-bucket)
+        self._bucket_div = bucket_div
         self._chunk_sharding = None
         self._repl = None
         self._nproc = 1
@@ -127,10 +131,10 @@ class RankingEvaluator:
         """(sort order, sorted extents) by true attended extent
         (ops/masks.attended_extent; the mlm_labels guard keeps bucketing
         exact even for synthetic inputs with labels past the extent).
-        Buckets are the multiples of Lmax/4 (masks.quarter_bucket) — at
-        most 4 compiled executables per (chunk, label-bucket) point.
-        Measured on the val_lm bench (v5e): halves {128, 256} 1.86 -> 2.20
-        d/s/chip, quarters {64, 128, 192, 256} -> 2.51 (+35% total)."""
+        Buckets are the multiples of Lmax/bucket_div
+        (masks.quarter_bucket). Measured on the val_lm bench (v5e): halves
+        {128, 256} 1.86 -> 2.20 d/s/chip, quarters {64..256} -> 2.51,
+        eighths {32..256} -> 2.59 (+39% total)."""
         ext = M_masks.attended_extent(
             flat["mode"], flat["ctx_end"], flat["ans_len"],
             flat["tokens"].shape[-1],
@@ -179,7 +183,8 @@ class RankingEvaluator:
                     [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in
                     chunk.items()}
             if order is not None:
-                Lb = M_masks.quarter_bucket(int(ext_sorted[s:e].max()), Lmax)
+                Lb = M_masks.quarter_bucket(int(ext_sorted[s:e].max()), Lmax,
+                                            div=self._bucket_div)
                 if Lb < Lmax:
                     for k in ("tokens", "segments", "mlm_labels"):
                         if k in chunk:

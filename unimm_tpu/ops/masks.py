@@ -152,10 +152,12 @@ def attended_extent(mode, ctx_end, ans_len, max_len: int, mlm_labels=None):
     return np.clip(ext, 1, max_len)
 
 
-def quarter_bucket(ext_max: int, max_len: int) -> int:
-    """Smallest multiple of max_len/4 covering ``ext_max`` (== max_len when
-    max_len is not divisible by 4) — the shared length-bucket rule."""
-    if max_len % 4:
+def quarter_bucket(ext_max: int, max_len: int, div: int = 4) -> int:
+    """Smallest multiple of max_len/div covering ``ext_max`` (== max_len
+    when max_len is not divisible by div) — the shared length-bucket
+    rule. div bounds the number of compiled executables per
+    (chunk, label-bucket) point."""
+    if max_len % div:
         return max_len
-    q = max_len // 4
+    q = max_len // div
     return min(-(-max(int(ext_max), 1) // q) * q, max_len)
