@@ -113,7 +113,10 @@ def bench(name):
     micro, ksteps, sort_buckets = B, 1, False
     if "@" in name:
         name, spec = name.split("@", 1)
-        if spec.endswith("s"):      # 's': sort morsels by extent + slice
+        morsel_div = 4
+        if spec.endswith("s8"):     # 's8': sorted morsels, eighth buckets
+            sort_buckets, morsel_div, spec = True, 8, spec[:-2]
+        elif spec.endswith("s"):    # 's': sorted morsels, quarter buckets
             sort_buckets, spec = True, spec[:-1]
         m_s, k_s = spec.split("x")
         micro, ksteps = int(m_s), int(k_s)
@@ -153,7 +156,7 @@ def bench(name):
                  for j in range(ksteps)]
         return [{k: jnp.asarray(v) for k, v in m.items()}
                 for m in length_bucket_morsels(flats, cfg.max_seq_len,
-                                               ksteps)]
+                                               ksteps, div=morsel_div)]
 
     batches = [make_group(s) for s in range(3)]
     for group in batches:  # compile + warm

@@ -107,13 +107,15 @@ def read_command_line(argv=None) -> dict:
                         help='write a jax.profiler trace of steps 10-14 here '
                              '(the reference has no profiling at all, '
                              'SURVEY §5)')
-    parser.add_argument('-length_buckets', default=1, type=int,
+    parser.add_argument('-length_buckets', default=8, type=int,
                         help='sort accumulation microbatches by attended '
                              'extent and run each at the smallest covering '
-                             'quarter-length bucket (single-process, '
-                             'batch_multiply > 1; 655 -> 531 ms per '
-                             'effective 240-batch on v5e). Eval always '
-                             'buckets (exact); this flag covers training.')
+                             'multiple of max_seq_len/N (0 = off; 1 = '
+                             'quarter buckets; N>=2 = N buckets). '
+                             'Single-process, batch_multiply > 1; v5e: '
+                             '655 -> 531 (quarters) -> 502 ms (eighths) '
+                             'per effective 240-batch. Eval always buckets '
+                             '(exact); this flag covers training.')
     parser.add_argument('-adam_mu_dtype', default='',
                         choices=['', 'bfloat16', 'float32'],
                         help='dtype of the first Adam moment; bfloat16 '

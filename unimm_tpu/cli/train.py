@@ -169,6 +169,8 @@ def main(argv=None):
     k_buckets = (params["batch_multiply"]
                  if params["length_buckets"] and nproc == 1 and
                  params["batch_multiply"] > 1 else 1)
+    bucket_div = (params["length_buckets"]
+                  if params["length_buckets"] >= 2 else 4)
     flat_buffer = []
 
     iter_id = start_iter
@@ -209,7 +211,8 @@ def main(argv=None):
                 if len(flat_buffer) < k_buckets:
                     continue
                 morsels = length_bucket_morsels(flat_buffer,
-                                                cfg.max_seq_len, k_buckets)
+                                                cfg.max_seq_len, k_buckets,
+                                                div=bucket_div)
                 flat_buffer = []
             else:
                 morsels = [flat]
@@ -221,7 +224,8 @@ def main(argv=None):
             # 1-batch overfit epochs): flush as shorter morsel groups so no
             # loader batch is ever silently dropped
             run_morsels(length_bucket_morsels(flat_buffer, cfg.max_seq_len,
-                                              len(flat_buffer)))
+                                              len(flat_buffer),
+                                              div=bucket_div))
             flat_buffer = []
 
         if epoch_id % params["save_every_epochs"] == 0:

@@ -455,7 +455,8 @@ def flatten_for_forward(batch: dict, sample_size: Optional[int] = None,
     return flat
 
 
-def length_bucket_morsels(flats, max_len: int, k: int):
+def length_bucket_morsels(flats, max_len: int, k: int,
+                          div: int = 4):
     """Regroup ``k`` flat training batches into ``k`` length-bucketed
     accumulation morsels.
 
@@ -504,7 +505,8 @@ def length_bucket_morsels(flats, max_len: int, k: int):
     for j in range(k):
         idx = order[j * m:(j + 1) * m] if j < k - 1 else order[(k - 1) * m:]
         morsel = {key: v[idx] for key, v in cat.items()}
-        Lb = _masks.quarter_bucket(int(ext[idx].max()), max_len)
+        Lb = _masks.quarter_bucket(int(ext[idx].max()), max_len,
+                                   div=div)
         if Lb < max_len:
             # per-token arrays only — 'sep_indices' is a short list of SEP
             # positions, not an [N, L] array, and must not be cut
