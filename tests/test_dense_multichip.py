@@ -107,3 +107,41 @@ def test_padded_rows_get_no_gradient_signal():
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=5e-4, atol=1e-6)
+
+
+def test_dense_step_length_sliced_matches_full():
+    """Slicing the dense slate to its covering length bucket (exact under
+    the descriptor masks) must not change any loss term."""
+    from unimm_tpu.ops import masks as M_masks
+
+    cfg = _no_dropout(TINY)
+    batch, gt_rel = _slate(np.random.default_rng(3), cfg, N_REAL)
+    # short slate: extents well under max_seq_len
+    batch["ctx_end"] = np.asarray(
+        np.random.default_rng(4).integers(6, 10, N_REAL), np.int32)
+    batch["ans_len"] = np.minimum(batch["ans_len"], 3).astype(np.int32)
+    labels = np.full_like(batch["mlm_labels"], -1)
+    for i in range(N_REAL):
+        s, e = int(batch["ctx_end"][i] - batch["ans_len"][i]), \
+            int(batch["ctx_end"][i])
+        labels[i, s:e] = np.random.default_rng(i).integers(
+            0, cfg.vocab_size, e - s)
+    batch["mlm_labels"] = labels
+    batch["lm_weight"] = (labels != -1).astype(np.float32)
+
+    _, full = _run(cfg, batch, gt_rel, None)
+
+    ext = M_masks.attended_extent(batch["mode"], batch["ctx_end"],
+                                  batch["ans_len"], cfg.max_seq_len,
+                                  batch["mlm_labels"])
+    Lb = M_masks.quarter_bucket(int(ext.max()), cfg.max_seq_len, div=8)
+    assert Lb < cfg.max_seq_len
+    sliced = dict(batch)
+    for key in ("tokens", "segments", "mlm_labels", "lm_weight"):
+        sliced[key] = np.ascontiguousarray(batch[key][:, :Lb])
+    _, cut = _run(cfg, sliced, gt_rel, None)
+
+    assert full.keys() == cut.keys()
+    for k in full:
+        np.testing.assert_allclose(cut[k], full[k], rtol=2e-5, atol=2e-6,
+                                   err_msg=k)

@@ -168,6 +168,33 @@ def main(argv=None):
              for k, v in batch.items() if k not in
              ("gt_relevance", "gt_option", "round_id", "image_id")})
         gt_rel = np.asarray(batch["gt_relevance"][0])[order]
+        if params["length_buckets"]:
+            # slice the slate to its covering length bucket (exact under
+            # the descriptor masks, ops/masks.attended_extent; all options
+            # share the annotated round's context, so early-round dialogs
+            # train at a fraction of max_seq_len). Order-preserving — the
+            # gt-first permutation and gt_relevance alignment are untouched.
+            # Computed BEFORE the per-process row slice so every process
+            # compiles the same shapes.
+            from unimm_tpu.ops import masks as M_masks
+            # capped at quarter granularity: every distinct dense bucket is
+            # a full fwd+bwd graph compile (the most expensive graphs in
+            # the framework — ~10+ min each through the remote Mosaic
+            # relay), and the slate extent (shared round context + max
+            # answer) rarely sits near a fine bucket boundary
+            div = min(params["length_buckets"], 4) \
+                if params["length_buckets"] >= 2 else 4
+            ext = M_masks.attended_extent(
+                flat["mode"], flat["ctx_end"], flat["ans_len"],
+                cfg.max_seq_len, flat.get("mlm_labels"))
+            Lb = M_masks.quarter_bucket(int(ext.max()), cfg.max_seq_len,
+                                        div=div)
+            if Lb < cfg.max_seq_len:
+                for key in ("tokens", "segments", "positions",
+                            "mlm_labels", "lm_weight"):
+                    if key in flat:
+                        flat[key] = np.ascontiguousarray(
+                            np.asarray(flat[key])[:, :Lb])
         if S > n_slate:
             # pad with copies of the GT row, neutralised: lm_weight 0 and
             # labels -1 (zero LM term); nsp/rank are sliced to [:n_real] in
