@@ -42,7 +42,8 @@ _IMG_KEYS = ("image_feat", "image_loc", "image_mask")
 class RankingEvaluator:
     def __init__(self, cfg: VilbertConfig, *, chunk_size: int = 256,
                  dtype=jnp.bfloat16, need_lm=True, need_nsp=True, mesh=None,
-                 length_buckets=True, bucket_div: int = 8):
+                 length_buckets=True, bucket_div: int = 8,
+                 gen_prefix=True, prefix_group: int = 16):
         """``mesh``: optional jax.sharding.Mesh — eval chunks are dp-sharded
         across it (multi-chip serving; chunk_size must divide the dp axis).
 
@@ -55,7 +56,13 @@ class RankingEvaluator:
         EXACT: masked-out columns contribute exp(-1e4)=0 to the fp32
         softmax and no valid row or the co-attention mask ever reaches past
         the extent (equality tested in test_evaluator.py). Scores are
-        re-assembled into the caller's order."""
+        re-assembled into the caller's order.
+
+        ``gen_prefix``: for LM-only scoring (need_nsp=False), score slates
+        whose options share a context via the prefix-cache scorer
+        (eval/prefix.py: one context prefill per slate + per-option
+        answer-rows passes) through ``score_slates``; ineligible slates fall
+        back to the flat path. Single-process/unsharded only for now."""
         self.cfg = cfg
         self.chunk = chunk_size
         self.dtype = dtype
@@ -110,6 +117,12 @@ class RankingEvaluator:
 
         self._fwd = jax.jit(fwd, static_argnames="pmax")
         self._need_lm = need_lm
+        self._prefix = None
+        if (gen_prefix and need_lm and not need_nsp and mesh is None
+                and not cfg.in_batch_pairs and not cfg.fast_mode):
+            from unimm_tpu.eval.prefix import PrefixScorer
+            self._prefix = PrefixScorer(cfg, dtype=dtype, group=prefix_group,
+                                        bucket_div=bucket_div)
 
     def _label_bucket(self, flat) -> int:
         """Smallest power-of-two label budget covering this batch.
@@ -218,6 +231,36 @@ class RankingEvaluator:
             scores = {k: v[inv] for k, v in scores.items()}
         return scores
 
+    def score_slates(self, params, batch: Dict[str, np.ndarray]) -> dict:
+        """Score a structured [B, R, O] val batch; returns flat [B*R*O]
+        scores in the same order/keys as ``score_flat`` over
+        ``flatten_for_forward(batch)``.
+
+        Slates whose 100 options share a generative context are scored by
+        the prefix-cache scorer (one context prefill + answer-rows passes,
+        eval/prefix.py); the rest go through the flat chunked path."""
+        from unimm_tpu.data.dataset import flatten_for_forward
+
+        B, R, O = batch["tokens"].shape[:3]
+        if self._prefix is None:
+            return self.score_flat(
+                params, flatten_for_forward(batch, train=False,
+                                            compact_images=True))
+        pref, ok = self._prefix.score(params, batch)
+        scores = {k: v.reshape(B * R * O).copy() for k, v in pref.items()}
+        if not ok.all():
+            flat = flatten_for_forward(batch, train=False,
+                                       compact_images=True)
+            m = np.repeat(~ok, O)
+            sub = {k: (v if k in _IMG_KEYS or k == "img_index" else v[m])
+                   for k, v in flat.items()}
+            if "img_index" in sub:
+                sub["img_index"] = flat["img_index"][m]
+            fb = self.score_flat(params, sub)
+            for k in scores:
+                scores[k][m] = fb[k]
+        return scores
+
 
 def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    chunk_size: int = 256, dtype=jnp.bfloat16,
@@ -238,8 +281,12 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     ndcg = M.NDCG()
     for batch_idx, batch in enumerate(loader, start=1):
         B, R, O = batch["tokens"].shape[:3]
-        flat = flatten_for_forward(batch, train=False, compact_images=True)
-        scores = ev.score_flat(params, flat)
+        if need_lm:
+            scores = ev.score_slates(params, batch)
+        else:
+            flat = flatten_for_forward(batch, train=False,
+                                       compact_images=True)
+            scores = ev.score_flat(params, flat)
         key = "nsp_prob" if mode == "nsp" else mode
         out = scores[key].reshape(B, R, O)
 
@@ -303,10 +350,12 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
     key = "nsp_prob" if mode == "nsp" else mode
     for batch_idx, batch in enumerate(loader, start=1):
         B, R, O = batch["tokens"].shape[:3]
-        flat = flatten_for_forward(batch, train=False, compact_images=True)
+        flat = (None if need_lm else
+                flatten_for_forward(batch, train=False, compact_images=True))
         total = np.zeros((B, R, O), np.float64)
         for params in param_list:
-            out = ev.score_flat(params, flat)[key].reshape(B, R, O)
+            out = (ev.score_slates(params, batch) if need_lm
+                   else ev.score_flat(params, flat))[key].reshape(B, R, O)
             total += minmax_per_slate(out)
 
         if ranks_out is not None:

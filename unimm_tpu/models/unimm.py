@@ -97,7 +97,7 @@ def _kernel_mesh(mesh, n_rows: int):
 
 
 def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
-           dtype=jnp.float32, mesh=None):
+           dtype=jnp.float32, mesh=None, tap=None):
     """Run the two-stream encoder from a descriptor batch.
 
     batch keys: tokens [B,L] int32, segments [B,L] int32, mode/ctx_end/ans_len
@@ -237,7 +237,7 @@ def encode(params, cfg: VilbertConfig, batch, *, train=False, rng=None,
         text_fused_attn=text_fused_attn, text_fused_block=text_fused_block,
         text_fused_ffn=text_fused_ffn,
         text_fused_block_train=text_fused_block_train,
-        text_fused_co=text_fused_co)
+        text_fused_co=text_fused_co, tap=tap)
 
 
 def forward_train(params, cfg: VilbertConfig, batch, *, rng,

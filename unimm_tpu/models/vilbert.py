@@ -302,7 +302,7 @@ def image_embeddings(p: Params, cfg: VilbertConfig, features, locations, *,
 def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             train, rng, text_fused_attn=None, text_fused_block=None,
             text_fused_ffn=None, text_fused_block_train=None,
-            text_fused_co=None):
+            text_fused_co=None, tap=None):
     """BertEncoder interleave (vilbert_dialog.py:817-937).
 
     Supports the reference's optional modes:
@@ -313,6 +313,12 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
       sequence with every image: batch B -> B^2 (:876-893);
     * fast_mode — broadcast a single text sequence over the image batch
       (:895-899).
+
+    ``tap(kind, idx, x)`` — optional observer called with each text layer's
+    input hidden states ("t", layer_idx, t_x) and each connection layer's
+    vision-stream input ("c_v", count, v_x). Used by the prefix-cache gen
+    scorer (eval/prefix.py) to record the context K/V sources; it never
+    alters the computation.
     """
     base_key = rng._rng if isinstance(rng, _Rng) else rng
 
@@ -376,6 +382,8 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             if i < cfg.fixed_v_layer:
                 v_x = jax.lax.stop_gradient(v_x)
         for i in range(t_start, t_end):
+            if tap is not None:
+                tap("t", i, t_x)
             t_x = t_fn(p["layer"][str(i)], t_x, _key(i))
             if i < cfg.fixed_t_layer:
                 t_x = jax.lax.stop_gradient(t_x)
@@ -399,12 +407,16 @@ def encoder(p: Params, cfg: VilbertConfig, t_x, v_x, t_bias, v_bias, co_bias, *,
             t_bias = jnp.broadcast_to(t_bias, (B,) + t_bias.shape[1:])
 
         if cfg.with_coattention:
+            if tap is not None:
+                tap("c_v", count, v_x)
             v_x, t_x = c_fn(p["c_layer"][str(count)], v_x, t_x,
                             _key(200 + count))
         v_start, t_start = v_end, t_end
     for i in range(v_start, cfg.v_num_hidden_layers):
         v_x = v_fn(p["v_layer"][str(i)], v_x, _key(100 + i))
     for i in range(t_start, cfg.num_hidden_layers):
+        if tap is not None:
+            tap("t", i, t_x)
         t_x = t_fn(p["layer"][str(i)], t_x, _key(i))
     return t_x, v_x
 
@@ -419,7 +431,7 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                co_bias, train=False, rng=None, dtype=jnp.float32,
                text_fused_attn=None, text_fused_block=None,
                text_fused_ffn=None, text_fused_block_train=None,
-               text_fused_co=None):
+               text_fused_co=None, tap=None):
     """BertModel.forward (vilbert_dialog.py:1359-1472) with biases precomputed.
 
     Returns (sequence_t, sequence_v, pooled_t, pooled_v).
@@ -437,7 +449,7 @@ def bert_model(params: Params, cfg: VilbertConfig, *, input_ids, token_type_ids,
                            text_fused_block=text_fused_block,
                            text_fused_ffn=text_fused_ffn,
                            text_fused_block_train=text_fused_block_train,
-                           text_fused_co=text_fused_co)
+                           text_fused_co=text_fused_co, tap=tap)
     return t_seq, v_seq, pooler(p["t_pooler"], t_seq), pooler(p["v_pooler"], v_seq)
 
 
