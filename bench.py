@@ -2,8 +2,19 @@
 
 Measures the flagship eval path — the BASELINE.json north-star metric: score
 all 100 answer candidates per round, 10 rounds per dialog = 1000 sequences of
-length 256 per dialog, returning per-sequence answer log-likelihood + NSP
-logits (what /root/reference/val_lm.py does in 250-sequence chunks on 2 GPUs).
+length 256 per dialog, returning per-sequence answer log-likelihood (what
+/root/reference/val_lm.py does in 250-sequence chunks on 2 GPUs).
+
+The workload is shaped like real encode_gen output (data/encoding.py): the
+100 options of a round share their context and differ only in the appended
+answer + masked copy, exactly as real VisDial slates do. This lets the
+production evaluator route through the prefix-cache scorer (eval/prefix.py:
+one context prefill per slate + thin answer-rows passes — scores match the
+full-forward path, tests/test_prefix.py), the serving optimization the
+reference leaves on the table by re-running the full forward per option.
+The flat full-forward path cannot exploit sharing, so its throughput is the
+same on shared and unshared contexts (2.4-2.6 d/s here, scripts/
+bench_prefix_ab.py) — comparability with earlier rounds' numbers holds.
 
 Baseline: the reference publishes no throughput numbers. The documented
 estimate used for ``vs_baseline`` is a FLOPs model of its 2x 12GB-GPU eval:
@@ -34,7 +45,6 @@ BASELINE_DIALOGS_PER_SEC_PER_CHIP = 0.03
 
 def main():
     from unimm_tpu.config import VilbertConfig
-    from unimm_tpu.data.dataset import flatten_for_forward
     from unimm_tpu.eval.evaluator import RankingEvaluator
     from unimm_tpu.models import vilbert
 
@@ -44,72 +54,64 @@ def main():
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
 
-    # val_lm-shaped work: 2 dialogs x 10 rounds x 100 candidates per batch,
-    # full host->device path through the production evaluator (compact
-    # per-image feature staging + pipelined chunks).
+    # val_lm-shaped work: 2 dialogs x 10 rounds x 100 candidates per batch.
     B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
 
     def make_val_batch():
-        # label tokens sit in the masked SECOND answer copy
-        # [ctx_end, ctx_end + ans_len) like real val_lm data
-        # (data/encoding.py encode_gen flags the copy starting AT ctx_end);
-        # earlier revisions parked them at a fixed 200:208 window, which
-        # contradicted the descriptors' own layout
-        ctx_end = rng.integers(60, 200, (B, R, O)).astype(np.int32)
-        ans_len = rng.integers(2, 9, (B, R, O)).astype(np.int32)
+        # per (dialog, round): one shared context of 58-191 tokens; per
+        # option a 2-8 token answer appended as first copy + masked second
+        # copy with the labels on the second copy (encode_gen layout)
+        tokens = np.zeros((B, R, O, L), np.int32)
+        segments = np.zeros((B, R, O, L), np.int32)
         labels = np.full((B, R, O, L), -1, np.int32)
-        pos = np.arange(L)[None, None, None, :]
-        span = (pos >= ctx_end[..., None]) & \
-               (pos < (ctx_end + ans_len)[..., None])
-        labels[span] = rng.integers(0, cfg.vocab_size, int(span.sum()))
+        ctx_end = np.zeros((B, R, O), np.int32)
+        ans_len = np.zeros((B, R, O), np.int32)
+        for b in range(B):
+            for r in range(R):
+                lc = int(rng.integers(58, 192))
+                ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
+                cs = rng.integers(0, 2, lc).astype(np.int32)
+                for o in range(O):
+                    a = int(rng.integers(2, 9))
+                    ans = rng.integers(1, cfg.vocab_size, a).astype(np.int32)
+                    tokens[b, r, o, :lc] = ctx
+                    segments[b, r, o, :lc] = cs
+                    t1, t2 = lc + a, min(lc + 2 * a, L)
+                    tokens[b, r, o, lc:t1] = ans
+                    tokens[b, r, o, t1:t2] = ans[:t2 - t1]
+                    labels[b, r, o, t1:t2] = ans[:t2 - t1]
+                    ctx_end[b, r, o] = t1
+                    ans_len[b, r, o] = a
         return {
-            "tokens": rng.integers(1, cfg.vocab_size,
-                                   (B, R, O, L)).astype(np.int32),
-            "segments": rng.integers(0, 2, (B, R, O, L)).astype(np.int32),
+            "tokens": tokens, "segments": segments,
             "mode": np.ones((B, R, O), np.int32),
-            "ctx_end": ctx_end,
-            "ans_len": ans_len,
-            "mlm_labels": labels,
+            "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
             "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
             "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
             "image_mask": np.ones((B, Rg), np.float32),
         }
 
-    # chunk scan on v5e (scripts/bench_e2e_ab.py, pallas_block):
-    # 125 -> 1.67, 200 -> 1.68, 250 -> 1.79/1.72, 500 -> 1.58-1.67,
-    # 1000 -> 1.63 dialogs/s/chip; 250 wins (host->device staging of the
-    # next chunk overlaps device compute of the current one).
-    # Round 3: the evaluator scores in ascending-extent order at per-chunk
-    # length buckets (multiples of L/8, exact under the descriptor masks)
-    # — 1.86 -> 2.59 d/s/chip on this protocol
-    for chunk in (250, 125):
-        try:
-            ev = RankingEvaluator(cfg, chunk_size=chunk, dtype=jnp.bfloat16,
-                                  need_lm=True, need_nsp=False)
-            flats = [flatten_for_forward(make_val_batch(), train=False,
-                                         compact_images=True)
-                     for _ in range(3)]
-            for f in flats:                      # compile + warmup
-                ev.score_flat(params, f)
-            # pinned protocol: 9 repeats of 6 scoring passes over 3 distinct
-            # batches (byte-identical dispatches can return memoised through
-            # the TPU relay); report the median repeat. 9 (was 5) damps the
-            # +/-4% cross-process thermal/tunnel drift observed on v5e.
-            iters, repeats = 6, []
-            for _ in range(9):
-                t0 = time.perf_counter()
-                for i in range(iters):
-                    ev.score_flat(params, flats[i % 3])
-                dt = time.perf_counter() - t0
-                repeats.append(B * R * O * iters / dt)
-            seq_per_sec = sorted(repeats)[len(repeats) // 2]
-            B_used = chunk
-            break
-        except Exception:  # OOM fallback to smaller chunks
-            if chunk == 125:
-                raise
-            continue
-    B = B_used
+    # chunk 250 for the (rare) flat fallback; the prefix scorer groups
+    # slates itself (default group 16 -> balanced groups of 10 here, the
+    # best point in the scripts/bench_prefix_ab.py group sweep)
+    ev = RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
+                          need_lm=True, need_nsp=False)
+    # 6 DISTINCT batches: byte-identical dispatches can return memoised
+    # through the TPU relay (CLAUDE.md), so no batch repeats within a repeat
+    batches = [make_val_batch() for _ in range(6)]
+    for b in batches:                        # compile + warmup (every batch:
+        ev.score_slates(params, b)           # distinct shapes may compile)
+    # pinned protocol: 9 repeats of 6 scoring passes over distinct batches;
+    # report the median repeat. 9 damps the +/-4% cross-process
+    # thermal/tunnel drift observed on v5e.
+    iters, repeats = 6, []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            ev.score_slates(params, batches[i])
+        dt = time.perf_counter() - t0
+        repeats.append(B * R * O * iters / dt)
+    seq_per_sec = sorted(repeats)[len(repeats) // 2]
 
     dialogs_per_sec = seq_per_sec / 1000.0   # 10 rounds x 100 options
     print(json.dumps({
@@ -120,7 +122,8 @@ def main():
         # the reference publishes no throughput number; the baseline is the
         # documented FLOPs-model estimate above, not a measurement
         "baseline_basis": "flops-model-estimate",
-        "detail": {"seq_per_sec": round(seq_per_sec, 1), "batch": B,
+        "detail": {"seq_per_sec": round(seq_per_sec, 1),
+                   "scorer": "prefix-cache (eval/prefix.py)",
                    "repeats_seq_per_sec": [round(r, 1) for r in repeats],
                    "backend": jax.devices()[0].platform},
     }))

@@ -1,0 +1,131 @@
+"""A/B: flat chunked scoring vs the prefix-cache gen scorer (eval/prefix.py)
+on the real TPU, val_lm protocol with REALISTIC slates (the 100 options of a
+round share their context, as encode_gen emits for real data — bench.py's
+older generator drew independent contexts per option, which no real slate
+does and which makes prefix scoring inapplicable).
+
+The flat path cannot exploit context sharing, so its throughput here matches
+bench.py's unshared protocol; the prefix path prefills each shared context
+once and scores options with thin answer-rows passes.
+
+Interleaved same-process measurement (ROADMAP: cross-process varies +/-4%).
+
+Usage: python scripts/bench_prefix_ab.py [group ...]   (default groups: 10 20)
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def make_val_batch(rng, cfg, B=2, R=10, O=100):
+    """Shared-context gen slates, bench.py shapes: ctx len 58-191, ans 2-8,
+    labels on the masked second answer copy (encode_gen layout)."""
+    L, Rg = cfg.max_seq_len, cfg.max_regions
+    tokens = np.zeros((B, R, O, L), np.int32)
+    segments = np.zeros((B, R, O, L), np.int32)
+    labels = np.full((B, R, O, L), -1, np.int32)
+    ctx_end = np.zeros((B, R, O), np.int32)
+    ans_len = np.zeros((B, R, O), np.int32)
+    for b in range(B):
+        for r in range(R):
+            lc = int(rng.integers(58, 192))
+            ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
+            cs = rng.integers(0, 2, lc).astype(np.int32)
+            a = rng.integers(2, 9, O)
+            for o in range(O):
+                ao = int(a[o])
+                ans = rng.integers(1, cfg.vocab_size, ao).astype(np.int32)
+                tokens[b, r, o, :lc] = ctx
+                segments[b, r, o, :lc] = cs
+                t1, t2 = lc + ao, min(lc + 2 * ao, L)
+                tokens[b, r, o, lc:t1] = ans
+                tokens[b, r, o, t1:t2] = ans[:t2 - t1]
+                labels[b, r, o, t1:t2] = ans[:t2 - t1]
+                ctx_end[b, r, o] = t1
+                ans_len[b, r, o] = ao
+    return {
+        "tokens": tokens, "segments": segments,
+        "mode": np.ones((B, R, O), np.int32),
+        "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
+        "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
+        "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
+        "image_mask": np.ones((B, Rg), np.float32),
+    }
+
+
+def main():
+    from unimm_tpu.config import VilbertConfig
+    from unimm_tpu.data.dataset import flatten_for_forward
+    from unimm_tpu.eval.evaluator import RankingEvaluator
+    from unimm_tpu.models import vilbert
+
+    groups = [int(g) for g in sys.argv[1:]] or [10, 20]
+    cfg = dataclasses.replace(VilbertConfig(), attention_impl="pallas_block")
+    params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, R, O = 2, 10, 100
+
+    batches = [make_val_batch(rng, cfg, B, R, O) for _ in range(3)]
+    flats = [flatten_for_forward(b, train=False, compact_images=True)
+             for b in batches]
+
+    evs = {"flat": RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
+                                    need_lm=True, need_nsp=False,
+                                    gen_prefix=False)}
+    for g in groups:
+        evs[f"prefix{g}"] = RankingEvaluator(
+            cfg, chunk_size=250, dtype=jnp.bfloat16, need_lm=True,
+            need_nsp=False, prefix_group=g)
+
+    def score(name, i):
+        ev = evs[name]
+        if name == "flat":
+            return ev.score_flat(params, flats[i % 3])
+        return ev.score_slates(params, batches[i % 3])
+
+    # warmup/compile + sanity: prefix scores must rank like flat (bf16)
+    t0 = time.perf_counter()
+    ref = [score("flat", i) for i in range(3)]
+    print(f"flat warm {time.perf_counter() - t0:.1f}s", flush=True)
+    for name in evs:
+        if name == "flat":
+            continue
+        t0 = time.perf_counter()
+        outs = [score(name, i) for i in range(3)]
+        print(f"{name} warm {time.perf_counter() - t0:.1f}s", flush=True)
+        for o, rf in zip(outs, ref):
+            a = o["ll_mean"].reshape(-1, O)
+            b = rf["ll_mean"].reshape(-1, O)
+            top_same = (np.argmax(a, -1) == np.argmax(b, -1)).mean()
+            md = np.abs(a - b).max()
+            print(f"  {name}: top1 agree {top_same:.3f}, "
+                  f"max|d ll_mean| {md:.4f}", flush=True)
+
+    names = list(evs)
+    iters = 6
+    for rep in range(5):
+        line = []
+        for name in names:           # interleaved A/B
+            t0 = time.perf_counter()
+            for i in range(iters):
+                score(name, i)
+            dt = time.perf_counter() - t0
+            line.append(f"{name}: {B * R * O * iters / dt / 1000.0:.3f} d/s")
+        print(f"rep{rep}  " + "   ".join(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()
