@@ -133,6 +133,23 @@ def test_score_slates_with_fallback(params):
                                    err_msg=k)
 
 
+def test_prefix_dp_sharded(params):
+    """Single-process mesh: the dp-sharded prefix passes (group axis over
+    dp, pure-XLA GSPMD partitioning) must match the unsharded scorer."""
+    from unimm_tpu.parallel import mesh as pmesh
+
+    batch = make_shared_batch(np.random.default_rng(5), TINY, B=2, R=3, O=6)
+    ref, ok0 = PrefixScorer(TINY, dtype=jnp.float32).score(params, batch)
+    mesh = pmesh.make_mesh(8, mp=1)
+    sc = PrefixScorer(TINY, dtype=jnp.float32, group=4, mesh=mesh)
+    assert sc._dp == 8
+    out, ok = sc.score(params, batch)
+    assert ok.all() and ok0.all()
+    for k in ("ll_sum", "ll_mean"):
+        np.testing.assert_allclose(out[k], ref[k], rtol=2e-5, atol=2e-6,
+                                   err_msg=k)
+
+
 def test_prefix_on_real_encoder_output(params):
     """Slates built by the actual encode_gen (mask_prob=0, as val_lm builds
     eval options) must be prefix-eligible and score identically."""

@@ -62,7 +62,8 @@ class RankingEvaluator:
         whose options share a context via the prefix-cache scorer
         (eval/prefix.py: one context prefill per slate + per-option
         answer-rows passes) through ``score_slates``; ineligible slates fall
-        back to the flat path. Single-process/unsharded only for now."""
+        back to the flat path. Single-process only (a single-process mesh
+        dp-shards the prefix passes; multi-process serving stays flat)."""
         self.cfg = cfg
         self.chunk = chunk_size
         self.dtype = dtype
@@ -118,11 +119,11 @@ class RankingEvaluator:
         self._fwd = jax.jit(fwd, static_argnames="pmax")
         self._need_lm = need_lm
         self._prefix = None
-        if (gen_prefix and need_lm and not need_nsp and mesh is None
+        if (gen_prefix and need_lm and not need_nsp and self._nproc == 1
                 and not cfg.in_batch_pairs and not cfg.fast_mode):
             from unimm_tpu.eval.prefix import PrefixScorer
             self._prefix = PrefixScorer(cfg, dtype=dtype, group=prefix_group,
-                                        bucket_div=bucket_div)
+                                        bucket_div=bucket_div, mesh=mesh)
 
     def _label_bucket(self, flat) -> int:
         """Smallest power-of-two label budget covering this batch.

@@ -110,20 +110,39 @@ class PrefixScorer:
     would each cost a remote Mosaic compile (CLAUDE.md); the answer pass is
     plain XLA by design (its [W~16] row tiles are too thin for the fused
     block kernels' [L, L] layout).
+
+    ``mesh``: optional single-process jax.sharding.Mesh — both passes are
+    dp-sharded over the slate/group axis (group sizes are rounded up to a
+    dp multiple). Pure XLA end to end, so GSPMD partitions everything
+    without custom-call rules. Multi-process serving still goes through the
+    flat path (the evaluator gates on process count).
     """
 
     _IMG_KEYS = ("image_feat", "image_loc", "image_mask")
 
     def __init__(self, cfg: VilbertConfig, *, dtype=jnp.bfloat16,
-                 group: int = 16, bucket_div: int = 8):
+                 group: int = 16, bucket_div: int = 8, mesh=None):
         assert not cfg.in_batch_pairs and not cfg.fast_mode
         self.cfg = cfg
         self.dtype = dtype
         self.group = group
         self._bucket_div = bucket_div
+        self.mesh = mesh
+        self._dp = 1
+        if mesh is not None:
+            from unimm_tpu.parallel import mesh as pmesh
+            assert pmesh.mesh_process_count(mesh) == 1, \
+                "prefix scoring is single-process (multi-process uses flat)"
+            self._dp = mesh.shape[pmesh.DP]
         self._ctx_cfg = cfg.replace(attention_impl="xla")
         self._ctx_fn = jax.jit(self._context_impl)
         self._ans_fn = jax.jit(self._answer_impl)
+
+    def _put(self, batch):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from unimm_tpu.parallel import mesh as pmesh
+        return pmesh.shard_batch(batch, self.mesh)
 
     # ------------------------------------------------------------------
     # device functions
@@ -300,17 +319,22 @@ class PrefixScorer:
         imask_h = np.asarray(batch["image_mask"])
 
         # stage the per-image arrays once for the whole batch (compact
-        # staging, as in score_flat)
-        imgs = {k: jnp.asarray(batch[k]) for k in self._IMG_KEYS}
+        # staging, as in score_flat); replicated under a mesh (indexed on
+        # device by the dp-sharded img_index)
+        imgs = self._put({k: batch[k] for k in self._IMG_KEYS})
 
-        # sort by context length, balance groups to ONE shape per call
+        # sort by context length, balance groups to ONE shape per call;
+        # under a mesh the group axis is dp-sharded, so round it up
         sel = sel[np.argsort(lc[sel], kind="stable")]
         n_groups = max(1, -(-sel.size // self.group))
         gsize = -(-sel.size // n_groups)
+        gsize = -(-gsize // self._dp) * self._dp
 
         outs = []
         for gi in range(n_groups):
             g = sel[gi * gsize:(gi + 1) * gsize]
+            if g.size == 0:      # dp rounding made earlier groups absorb all
+                break
             pad = gsize - g.size
             if pad:
                 g = np.concatenate([g, np.repeat(g[-1:], pad)])
@@ -322,13 +346,14 @@ class PrefixScorer:
                 W *= 2
             W = min(W, Lx)
 
-            ctx_batch = dict(
+            ctx_batch = self._put(dict(
                 tokens=np.ascontiguousarray(toks[g, 0, :Lcb]),
                 segments=np.ascontiguousarray(segs[g, 0, :Lcb]),
                 mode=np.ones(g.size, np.int32),
                 ctx_end=lc[g],
                 ans_len=np.zeros(g.size, np.int32),
-                img_index=img_of_slate[g], **imgs)
+                img_index=img_of_slate[g]))
+            ctx_batch.update(imgs)
             caches = self._ctx_fn(params, ctx_batch)
 
             idx = lc[g][:, None, None] + np.arange(W, dtype=np.int64)[None,
@@ -341,10 +366,11 @@ class PrefixScorer:
                 v = np.take_along_axis(a[g], take, axis=-1)
                 return np.where(in_range, v, fill).astype(a.dtype)
 
-            rows = dict(tokens=_rows(toks, 0), segments=_rows(segs, 0),
-                        mlm_labels=_rows(labs, -1), lc=lc[g],
-                        ans_len=al[g], ctx_end=ce[g],
-                        image_mask=imask_h[img_of_slate[g]])
+            rows = self._put(dict(
+                tokens=_rows(toks, 0), segments=_rows(segs, 0),
+                mlm_labels=_rows(labs, -1), lc=lc[g],
+                ans_len=al[g], ctx_end=ce[g],
+                image_mask=imask_h[img_of_slate[g]]))
             outs.append((g[:g.size - pad] if pad else g, pad,
                          self._ans_fn(params, caches, rows)))
 
