@@ -1,15 +1,21 @@
-"""Attribution for the prefix-cache scorer: pure-compute floor per group
-dispatch via the feedback-carried scan protocol (CLAUDE.md: output feeds the
-next iteration's input inside ONE jit, defeating hoisting and relay
-memoisation), against the end-to-end per-group wall time.
+"""Attribution for the prefix-cache scorer: per-stage cost of the group
+dispatch, measured the way production runs it — N async dispatches over
+DISTINCT staged groups (relay memoisation needs byte-identical inputs,
+CLAUDE.md) closed by one host fetch, so per-dispatch tunnel overhead
+overlaps compute exactly as RankingEvaluator.score_slates does.
+
+(A feedback-carried lax.scan variant was tried first; the scan-wrapped
+full-model graph broke the remote Mosaic/XLA compile server — "Broken
+pipe" after ~20 min. The async protocol needs no scan.)
 
 Variants:
   full      — context prefill + answer pass (production _group_impl)
-  ctx       — context prefill alone (reduced to a scalar)
-  ans       — answer pass on fixed caches (prefill outside the scan)
-  nohead    — full minus the MLM label head (answer hiddens reduced)
+  ctx       — context prefill alone (caches reduced to one scalar on device)
+  ans       — answer pass on precomputed caches
+  nohead    — answer pass minus the MLM label head (isolates the
+              [P,30522] online-softmax decode cost)
 
-Usage: python scripts/bench_prefix_attr.py [Lcb] [iters]
+Usage: python scripts/bench_prefix_attr.py [Lcb] [n_groups] [repeats]
 """
 
 import os
@@ -30,86 +36,91 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 from bench_prefix_ab import make_val_batch  # noqa: E402  (same workload)
 
 
-def main():
-    from unimm_tpu.config import VilbertConfig
-    from unimm_tpu.eval.prefix import PrefixScorer, slate_eligibility
-    from unimm_tpu.models import vilbert
-    from unimm_tpu.ops import masks
+def stage_group(batch, sc, Lcb, W=16, gsize=10):
+    """Stage ONE group of ``gsize`` slates exactly as PrefixScorer.score."""
+    from unimm_tpu.eval.prefix import slate_eligibility
 
-    Lcb = int(sys.argv[1]) if len(sys.argv) > 1 else 192
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    cfg = VilbertConfig()
-    params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.default_rng(0)
-    batch = make_val_batch(rng, cfg, B=2, R=10, O=100)
-    sc = PrefixScorer(cfg, dtype=jnp.bfloat16, group=10)
-
-    # stage ONE group of 10 slates exactly as score() does
     ok, lc, rows_max = slate_eligibility(batch)
-    NS, O, Lx = 20, 100, cfg.max_seq_len
+    B, R, O, Lx = batch["tokens"].shape
+    NS = B * R
     toks = np.asarray(batch["tokens"]).reshape(NS, O, Lx)
     segs = np.asarray(batch["segments"]).reshape(NS, O, Lx)
     labs = np.asarray(batch["mlm_labels"]).reshape(NS, O, Lx)
     ce = np.asarray(batch["ctx_end"]).reshape(NS, O).astype(np.int32)
     al = np.asarray(batch["ans_len"]).reshape(NS, O).astype(np.int32)
-    g = np.nonzero(ok & (lc <= Lcb - 1))[0][:10]
-    assert g.size == 10, (g.size, Lcb)
-    W = 16
-    img_of = np.repeat(np.arange(2, dtype=np.int32), 10)
+    img_of = np.repeat(np.arange(B, dtype=np.int32), R)
+    g = np.nonzero(ok & (lc <= Lcb - 1))[0][:gsize]
+    assert g.size == gsize, (g.size, Lcb)
     ctx_batch = dict(
         tokens=np.ascontiguousarray(toks[g, 0, :Lcb]),
         segments=np.ascontiguousarray(segs[g, 0, :Lcb]),
-        mode=np.ones(10, np.int32), ctx_end=lc[g],
-        ans_len=np.zeros(10, np.int32), img_index=img_of[g],
+        mode=np.ones(gsize, np.int32), ctx_end=lc[g],
+        ans_len=np.zeros(gsize, np.int32), img_index=img_of[g],
         image_feat=batch["image_feat"], image_loc=batch["image_loc"],
         image_mask=batch["image_mask"])
     idx = np.minimum(lc[g][:, None, None]
                      + np.arange(W, dtype=np.int64)[None, None, :], Lx - 1)
-    take = np.broadcast_to(idx, (10, O, W))
+    take = np.broadcast_to(idx, (gsize, O, W))
     rows = dict(
         tokens=np.take_along_axis(toks[g], take, -1),
         segments=np.take_along_axis(segs[g], take, -1),
         mlm_labels=np.take_along_axis(labs[g], take, -1),
         lc=lc[g], ans_len=al[g], ctx_end=ce[g],
-        image_mask=batch["image_mask"][img_of[g]])
-    ctx_batch = {k: jnp.asarray(v) for k, v in ctx_batch.items()}
-    rows = {k: jnp.asarray(v) for k, v in rows.items()}
+        image_mask=np.asarray(batch["image_mask"])[img_of[g]])
+    return ({k: jnp.asarray(v) for k, v in ctx_batch.items()},
+            {k: jnp.asarray(v) for k, v in rows.items()})
 
-    def feedback(d, v, key="tokens"):
-        # data-dependent, value-preserving perturbation of an int input
-        return dict(d, **{key: d[key] + (jnp.sum(v) * 0).astype(jnp.int32)})
 
-    def v_full(c):
-        out = sc._group_impl(params, feedback(ctx_batch, c), rows)
-        return jnp.sum(out["ll_sum"])
+def main():
+    from unimm_tpu.config import VilbertConfig
+    from unimm_tpu.eval.prefix import PrefixScorer
 
-    def v_ctx(c):
-        caches = sc._context_impl(params, feedback(ctx_batch, c))
-        return sum(jnp.sum(t.astype(jnp.float32)) for t in caches["t"])
+    Lcb = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    n_groups = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    cfg = VilbertConfig()
+    from unimm_tpu.models import vilbert
+    params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    sc = PrefixScorer(cfg, dtype=jnp.bfloat16, group=10)
 
-    caches0 = jax.jit(sc._context_impl)(params, ctx_batch)
+    groups = [stage_group(make_val_batch(rng, cfg, B=2, R=10, O=100),
+                          sc, Lcb) for _ in range(n_groups)]
+    caches = [jax.jit(sc._context_impl)(params, cb) for cb, _ in groups]
+    jax.block_until_ready(caches)
 
-    def v_ans(c):
-        out = sc._answer_impl(params, caches0, feedback(rows, c))
-        return jnp.sum(out["ll_sum"])
+    # full reuses the PRODUCTION _grp_fn executable (same (Lcb, W) shapes as
+    # the pinned bench -> warm compile cache); ctx cost falls out as
+    # full - ans (a separate reduced-ctx jit would be one more full-model
+    # remote compile). Outputs are small [G, O] score dicts — fetch cost nil.
+    f_ans = jax.jit(sc._answer_impl)
+    f_nohead = jax.jit(
+        lambda p, c, r: sc._answer_impl(p, c, r, with_head=False))
 
-    variants = {"full": v_full, "ctx": v_ctx, "ans": v_ans}
-
+    variants = {
+        "full": lambda i: sc._grp_fn(params, *groups[i]),
+        "ans": lambda i: f_ans(params, caches[i], groups[i][1]),
+        "nohead": lambda i: f_nohead(params, caches[i], groups[i][1]),
+    }
+    res = {}
     for name, fn in variants.items():
-        def loop(c, _, fn=fn):
-            return fn(c), None
-        run = jax.jit(lambda c0, fn=fn, loop=loop: jax.lax.scan(
-            loop, c0, None, length=iters)[0])
-        r = run(jnp.float32(0.0))            # compile + warm
-        float(np.asarray(r))
+        for i in range(n_groups):      # compile + warm every distinct input
+            fn(i)
+        jax.block_until_ready([fn(i) for i in range(n_groups)])
         ts = []
-        for i in range(5):                   # distinct carries: byte-identical
-            t0 = time.perf_counter()         # dispatches can memoise (CLAUDE)
-            r = run(jnp.float32(1.0 + i))
-            float(np.asarray(r))
-            ts.append((time.perf_counter() - t0) / iters * 1000)
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            outs = [fn(i) for i in range(n_groups)]   # async dispatches
+            s = sum(float(np.asarray(list(o.values())[0]).sum())
+                    for o in outs)                    # host fetch closes
+            ts.append((time.perf_counter() - t0) / n_groups * 1000)
+        assert np.isfinite(s)
+        res[name] = min(ts)
         print(f"{name:7s} {min(ts):7.2f} ms/group  (runs: "
               + " ".join(f"{t:.2f}" for t in ts) + ")", flush=True)
+    print(f"ctx = full - ans ~= {res['full'] - res['ans']:.2f} ms/group; "
+          f"label head = ans - nohead ~= {res['ans'] - res['nohead']:.2f}",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -110,6 +110,58 @@ assert np.isfinite(scores["nsp_prob"]).all()
 print("EVAL", rank, [round(float(x), 4) for x in scores["ll_sum"]],
       flush=True)
 
+# ---- 3b. multi-host prefix-cache scoring: same grouping on every process,
+# dp-block contribution per group, replicated scores == flat path ----
+def _gen_slates(rng, cfg, B, R, O):
+    """Tiny shared-context gen slates (encode_gen layout, bench.py shapes)."""
+    L, Rg = cfg.max_seq_len, cfg.max_regions
+    toks = np.zeros((B, R, O, L), np.int32)
+    segs = np.zeros((B, R, O, L), np.int32)
+    labs = np.full((B, R, O, L), -1, np.int32)
+    ce = np.zeros((B, R, O), np.int32)
+    al = np.zeros((B, R, O), np.int32)
+    for b in range(B):
+        for r in range(R):
+            lc = int(rng.integers(8, 20))
+            ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
+            cs = rng.integers(0, 2, lc).astype(np.int32)
+            for o in range(O):
+                a = int(rng.integers(2, 5))
+                ans = rng.integers(1, cfg.vocab_size, a).astype(np.int32)
+                toks[b, r, o, :lc] = ctx
+                segs[b, r, o, :lc] = cs
+                t1, t2 = lc + a, min(lc + 2 * a, L)
+                toks[b, r, o, lc:t1] = ans
+                toks[b, r, o, t1:t2] = ans[:t2 - t1]
+                labs[b, r, o, t1:t2] = ans[:t2 - t1]
+                ce[b, r, o], al[b, r, o] = t1, a
+    return {
+        "tokens": toks, "segments": segs,
+        "mode": np.ones((B, R, O), np.int32),
+        "ctx_end": ce, "ans_len": al, "mlm_labels": labs,
+        "image_feat": rng.normal(
+            size=(B, Rg, cfg.v_feature_size)).astype(np.float32),
+        "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
+        "image_mask": np.ones((B, Rg), np.float32),
+    }
+
+
+from unimm_tpu.data.dataset import flatten_for_forward  # noqa: E402
+
+slates = _gen_slates(np.random.default_rng(11), cfg, B=1, R=3, O=4)
+ev_lm = RankingEvaluator(cfg, chunk_size=4, dtype=jnp.float32,
+                         need_lm=True, need_nsp=False, mesh=mesh,
+                         prefix_group=2)
+assert ev_lm._prefix is not None and ev_lm._prefix._nproc == nproc
+pscores = ev_lm.score_slates(state["params"], slates)
+flat_scores = ev_lm.score_flat(
+    state["params"], flatten_for_forward(slates, train=False,
+                                         compact_images=True))
+np.testing.assert_allclose(pscores["ll_sum"], flat_scores["ll_sum"],
+                           rtol=2e-4, atol=2e-4)
+print("PREFIX", rank, [round(float(x), 4) for x in pscores["ll_sum"]],
+      flush=True)
+
 # ---- 4. multi-host checkpoint save: gather shards, rank 0 writes ----
 from unimm_tpu import checkpoint as C  # noqa: E402
 

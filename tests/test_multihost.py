@@ -128,6 +128,17 @@ def test_multiprocess_eval_scores_agree(worker_outputs):
 
 
 @pytest.mark.slow
+def test_multiprocess_prefix_scores_agree(worker_outputs):
+    """Multi-host prefix-cache scoring: every process stages the same global
+    grouping, contributes its dp-block, and the replicated scores agree
+    across processes (the worker itself asserts prefix == flat)."""
+    p0 = _parse(worker_outputs[0][0][1], "PREFIX", 0)
+    p1 = _parse(worker_outputs[0][1][1], "PREFIX", 1)
+    assert len(p0) == len(p1) == 12  # 3 slates x 4 options
+    np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_multiprocess_save_and_guard(worker_outputs):
     """Rank 0 alone writes the gathered checkpoint (gather_to_host), and
     the multi-process shard_batch guard rejects non-divisible arrays."""

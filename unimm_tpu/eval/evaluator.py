@@ -62,8 +62,10 @@ class RankingEvaluator:
         whose options share a context via the prefix-cache scorer
         (eval/prefix.py: one context prefill per slate + per-option
         answer-rows passes) through ``score_slates``; ineligible slates fall
-        back to the flat path. Single-process only (a single-process mesh
-        dp-shards the prefix passes; multi-process serving stays flat)."""
+        back to the flat path. A mesh dp-shards the prefix passes; under a
+        multi-process mesh every process stages the same global grouping
+        from the replicated val batch and contributes its dp-block, like
+        score_flat's multi-host chunks."""
         self.cfg = cfg
         self.chunk = chunk_size
         self.dtype = dtype
@@ -119,7 +121,7 @@ class RankingEvaluator:
         self._fwd = jax.jit(fwd, static_argnames="pmax")
         self._need_lm = need_lm
         self._prefix = None
-        if (gen_prefix and need_lm and not need_nsp and self._nproc == 1
+        if (gen_prefix and need_lm and not need_nsp
                 and not cfg.in_batch_pairs and not cfg.fast_mode):
             from unimm_tpu.eval.prefix import PrefixScorer
             self._prefix = PrefixScorer(cfg, dtype=dtype, group=prefix_group,

@@ -111,11 +111,15 @@ class PrefixScorer:
     plain XLA by design (its [W~16] row tiles are too thin for the fused
     block kernels' [L, L] layout).
 
-    ``mesh``: optional single-process jax.sharding.Mesh — both passes are
-    dp-sharded over the slate/group axis (group sizes are rounded up to a
-    dp multiple). Pure XLA end to end, so GSPMD partitions everything
-    without custom-call rules. Multi-process serving still goes through the
-    flat path (the evaluator gates on process count).
+    ``mesh``: optional jax.sharding.Mesh — both passes are dp-sharded over
+    the slate/group axis (group sizes are rounded up to a dp multiple).
+    Pure XLA end to end, so GSPMD partitions everything without custom-call
+    rules. Multi-process meshes work like the flat evaluator's multi-host
+    serving: every process stages the SAME global grouping from the
+    replicated val batch (eligibility/sorting/bucketing are deterministic
+    in the batch alone), contributes its contiguous dp-block of each group
+    via jax.make_array_from_process_local_data, and the per-option score
+    vectors are replicated on the way out so every process can fetch them.
     """
 
     _IMG_KEYS = ("image_feat", "image_loc", "image_mask")
@@ -129,11 +133,17 @@ class PrefixScorer:
         self._bucket_div = bucket_div
         self.mesh = mesh
         self._dp = 1
+        self._nproc = 1
+        self._repl = None
         if mesh is not None:
             from unimm_tpu.parallel import mesh as pmesh
-            assert pmesh.mesh_process_count(mesh) == 1, \
-                "prefix scoring is single-process (multi-process uses flat)"
             self._dp = mesh.shape[pmesh.DP]
+            self._nproc = pmesh.mesh_process_count(mesh)
+            self._repl = pmesh.replicated(mesh)
+            assert self._dp % self._nproc == 0, \
+                ("multi-process prefix scoring requires the dp axis to span "
+                 "processes (mp must stay within a process)",
+                 dict(mesh.shape), self._nproc)
         self._ctx_cfg = cfg.replace(attention_impl="xla")
         # one dispatch per group: prefill + answer pass in a single jit —
         # halves the per-dispatch tunnel overhead (~30 ms each, CLAUDE.md)
@@ -141,14 +151,44 @@ class PrefixScorer:
         self._grp_fn = jax.jit(self._group_impl)
 
     def _group_impl(self, params, ctx_batch, rows):
-        return self._answer_impl(params, self._context_impl(params,
-                                                            ctx_batch), rows)
+        res = self._answer_impl(params, self._context_impl(params,
+                                                           ctx_batch), rows)
+        if self._nproc > 1:
+            # dp-sharded outputs are not addressable across hosts — replicate
+            # the tiny [G, O] score arrays so every process can fetch them
+            res = {k: jax.lax.with_sharding_constraint(v, self._repl)
+                   for k, v in res.items()}
+        return res
 
     def _put(self, batch):
+        """Stage a group-axis dict: every process passes the same GLOBAL
+        staging; under a multi-process mesh each contributes its contiguous
+        dp-block (shard_batch assembles without host-global arrays)."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         from unimm_tpu.parallel import mesh as pmesh
+        if self._nproc > 1:
+            r = jax.process_index()
+
+            def loc(v):
+                v = np.asarray(v)
+                k = v.shape[0] // self._nproc
+                return v[r * k:(r + 1) * k]
+
+            batch = {k: loc(v) for k, v in batch.items()}
         return pmesh.shard_batch(batch, self.mesh)
+
+    def _put_images(self, imgs):
+        """Per-image arrays are indexed on device by the dp-sharded
+        img_index: single-process meshes go through shard_batch (sharded or
+        replicated by divisibility — GSPMD resolves the gather); multi-
+        process meshes assemble them REPLICATED (every process holds the
+        same images; slicing them like batch rows would be wrong)."""
+        if self.mesh is None or self._nproc == 1:
+            return self._put(imgs)
+        return {k: jax.make_array_from_process_local_data(
+            self._repl, np.asarray(v), np.asarray(v).shape)
+            for k, v in imgs.items()}
 
     # ------------------------------------------------------------------
     # device functions
@@ -167,7 +207,9 @@ class PrefixScorer:
         return {"t": tuple(taps["t"]),
                 "c_v": tuple(x for x in taps["c_v"] if x is not None)}
 
-    def _answer_impl(self, params, caches, rows):
+    def _answer_impl(self, params, caches, rows, with_head: bool = True):
+        # with_head=False stops before the MLM label head (attribution
+        # probes only, scripts/bench_prefix_attr.py)
         cfg, dtype = self.cfg, self.dtype
         params = vilbert.cast_floating(params, dtype)
         p = params["bert"]
@@ -281,6 +323,8 @@ class PrefixScorer:
         for i in range(t_start, cfg.num_hidden_layers):
             x = t_layer(enc["layer"][str(i)], x, i)
 
+        if not with_head:
+            return {"x_sum": jnp.sum(x.astype(jnp.float32))}
         # answer NLL at gathered label positions (same online softmax as
         # forward_eval); labels sit on second-copy rows, at most W // 2
         P = max(8, W // 2)
@@ -325,9 +369,9 @@ class PrefixScorer:
         imask_h = np.asarray(batch["image_mask"])
 
         # stage the per-image arrays once for the whole batch (compact
-        # staging, as in score_flat); replicated under a mesh (indexed on
-        # device by the dp-sharded img_index)
-        imgs = self._put({k: batch[k] for k in self._IMG_KEYS})
+        # staging, as in score_flat); indexed on device by the dp-sharded
+        # img_index
+        imgs = self._put_images({k: batch[k] for k in self._IMG_KEYS})
 
         # sort by context length, balance groups to ONE shape per call;
         # under a mesh the group axis is dp-sharded, so round it up
