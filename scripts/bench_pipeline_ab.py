@@ -1,0 +1,103 @@
+"""Interleaved A/B: synchronous score_slates loop vs one-batch-in-flight
+pipelined loop (score_slates_async — dispatch batch i+1 before finalizing
+batch i, the evaluate_split production loop shape).
+
+Same workload as bench.py (val_lm shared-context slates, prefix scorer).
+Interleaved same-process measurement (ROADMAP: cross-process varies +/-4%).
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def make_val_batch(rng, cfg):
+    B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
+    tokens = np.zeros((B, R, O, L), np.int32)
+    segments = np.zeros((B, R, O, L), np.int32)
+    labels = np.full((B, R, O, L), -1, np.int32)
+    ctx_end = np.zeros((B, R, O), np.int32)
+    ans_len = np.zeros((B, R, O), np.int32)
+    for b in range(B):
+        for r in range(R):
+            lc = int(rng.integers(58, 192))
+            ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
+            cs = rng.integers(0, 2, lc).astype(np.int32)
+            for o in range(O):
+                a = int(rng.integers(2, 9))
+                ans = rng.integers(1, cfg.vocab_size, a).astype(np.int32)
+                tokens[b, r, o, :lc] = ctx
+                segments[b, r, o, :lc] = cs
+                t1, t2 = lc + a, min(lc + 2 * a, L)
+                tokens[b, r, o, lc:t1] = ans
+                tokens[b, r, o, t1:t2] = ans[:t2 - t1]
+                labels[b, r, o, t1:t2] = ans[:t2 - t1]
+                ctx_end[b, r, o] = t1
+                ans_len[b, r, o] = a
+    return {
+        "tokens": tokens, "segments": segments,
+        "mode": np.ones((B, R, O), np.int32),
+        "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
+        "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
+        "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
+        "image_mask": np.ones((B, Rg), np.float32),
+    }
+
+
+def main():
+    from unimm_tpu.config import VilbertConfig
+    from unimm_tpu.eval.evaluator import RankingEvaluator
+    from unimm_tpu.models import vilbert
+
+    cfg = dataclasses.replace(VilbertConfig(), attention_impl="pallas_block")
+    params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batches = [make_val_batch(rng, cfg) for _ in range(6)]
+    nseq = 2 * 10 * 100 * len(batches)
+
+    ev = RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
+                          need_lm=True, need_nsp=False)
+    for b in batches:
+        ev.score_slates(params, b)
+
+    def run_sync():
+        t0 = time.perf_counter()
+        for b in batches:
+            ev.score_slates(params, b)
+        return nseq / (time.perf_counter() - t0)
+
+    def run_pipe():
+        t0 = time.perf_counter()
+        pending = None
+        for b in batches:
+            fin = ev.score_slates_async(params, b)
+            if pending is not None:
+                pending()
+            pending = fin
+        pending()
+        return nseq / (time.perf_counter() - t0)
+
+    sync, pipe = [], []
+    for rep in range(7):
+        sync.append(run_sync())
+        pipe.append(run_pipe())
+        print(f"rep {rep}: sync {sync[-1]:.1f} pipe {pipe[-1]:.1f} seq/s",
+              flush=True)
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    print(f"median sync {med(sync):.1f} seq/s = {med(sync)/1000:.3f} d/s")
+    print(f"median pipe {med(pipe):.1f} seq/s = {med(pipe)/1000:.3f} d/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,10 @@ once and scores options with thin answer-rows passes.
 
 Interleaved same-process measurement (ROADMAP: cross-process varies +/-4%).
 
-Usage: python scripts/bench_prefix_ab.py [group ...]   (default groups: 10 20)
+Usage: python scripts/bench_prefix_ab.py [noflat] [group ...]
+(default groups: 10 20; ``noflat`` skips the flat arm — its pallas_block
+length-bucket shapes cost several remote Mosaic compiles on a cold cache —
+and cross-checks the prefix variants against each other instead.)
 """
 
 import dataclasses
@@ -72,7 +75,9 @@ def main():
     from unimm_tpu.eval.evaluator import RankingEvaluator
     from unimm_tpu.models import vilbert
 
-    groups = [int(g) for g in sys.argv[1:]] or [10, 20]
+    argv = sys.argv[1:]
+    use_flat = "noflat" not in argv
+    groups = [int(g) for g in argv if g != "noflat"] or [10, 20]
     cfg = dataclasses.replace(VilbertConfig(), attention_impl="pallas_block")
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -82,9 +87,11 @@ def main():
     flats = [flatten_for_forward(b, train=False, compact_images=True)
              for b in batches]
 
-    evs = {"flat": RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
-                                    need_lm=True, need_nsp=False,
-                                    gen_prefix=False)}
+    evs = {}
+    if use_flat:
+        evs["flat"] = RankingEvaluator(cfg, chunk_size=250,
+                                       dtype=jnp.bfloat16, need_lm=True,
+                                       need_nsp=False, gen_prefix=False)
     for g in groups:
         evs[f"prefix{g}"] = RankingEvaluator(
             cfg, chunk_size=250, dtype=jnp.bfloat16, need_lm=True,
@@ -96,12 +103,14 @@ def main():
             return ev.score_flat(params, flats[i % 3])
         return ev.score_slates(params, batches[i % 3])
 
-    # warmup/compile + sanity: prefix scores must rank like flat (bf16)
-    t0 = time.perf_counter()
-    ref = [score("flat", i) for i in range(3)]
-    print(f"flat warm {time.perf_counter() - t0:.1f}s", flush=True)
+    # warmup/compile + sanity: prefix scores must rank like flat (bf16);
+    # under noflat, like the first prefix variant (both exact to rounding)
+    ref = None
     for name in evs:
-        if name == "flat":
+        if ref is None:
+            t0 = time.perf_counter()
+            ref = [score(name, i) for i in range(3)]
+            print(f"{name} warm {time.perf_counter() - t0:.1f}s", flush=True)
             continue
         t0 = time.perf_counter()
         outs = [score(name, i) for i in range(3)]

@@ -166,6 +166,13 @@ class RankingEvaluator:
         chunk. With ``length_buckets`` the sequences are scored in
         ascending-extent order at per-chunk length buckets and the score
         vectors are restored to input order before returning."""
+        return self.score_flat_async(params, flat)()
+
+    def score_flat_async(self, params, flat: Dict[str, np.ndarray]):
+        """Stage + dispatch all chunks of a flat batch; return a closure
+        that fetches and assembles the score dict. Lets a caller pipeline
+        the next batch's host staging/dispatch against this batch's device
+        compute (evaluate_split keeps one batch in flight)."""
         N = flat["tokens"].shape[0]
         Lmax = flat["tokens"].shape[-1]
         compact = "img_index" in flat
@@ -221,18 +228,22 @@ class RankingEvaluator:
             else:
                 chunk = {k: jnp.asarray(v) for k, v in chunk.items()}
             chunk.update(imgs)
-            # keep results on device; fetch after the loop so successive
-            # chunk dispatches overlap with compute
+            # keep results on device; fetch in finalize() so successive
+            # chunk (and next-batch) dispatches overlap with compute
             outs.append((e - s, self._fwd(params, chunk, pmax)))
-        fetched = [{k: np.asarray(v)[:n] for k, v in res.items()}
-                   for n, res in outs]
-        scores = {k: np.concatenate([o[k] for o in fetched])
-                  for k in fetched[0]}
-        if order is not None:
-            inv = np.empty_like(order)
-            inv[order] = np.arange(N)
-            scores = {k: v[inv] for k, v in scores.items()}
-        return scores
+
+        def finalize():
+            fetched = [{k: np.asarray(v)[:n] for k, v in res.items()}
+                       for n, res in outs]
+            scores = {k: np.concatenate([o[k] for o in fetched])
+                      for k in fetched[0]}
+            if order is not None:
+                inv = np.empty_like(order)
+                inv[order] = np.arange(N)
+                scores = {k: v[inv] for k, v in scores.items()}
+            return scores
+
+        return finalize
 
     def score_slates(self, params, batch: Dict[str, np.ndarray]) -> dict:
         """Score a structured [B, R, O] val batch; returns flat [B*R*O]
@@ -242,27 +253,43 @@ class RankingEvaluator:
         Slates whose 100 options share a generative context are scored by
         the prefix-cache scorer (one context prefill + answer-rows passes,
         eval/prefix.py); the rest go through the flat chunked path."""
+        return self.score_slates_async(params, batch)()
+
+    def score_slates_async(self, params, batch: Dict[str, np.ndarray]):
+        """Stage + dispatch a [B, R, O] val batch; return a closure that
+        fetches and assembles the flat [B*R*O] score dict — the pipelined
+        form of ``score_slates`` (evaluate_split dispatches batch i+1
+        before finalizing batch i, hiding host staging and relay latency
+        behind device compute)."""
         from unimm_tpu.data.dataset import flatten_for_forward
 
         B, R, O = batch["tokens"].shape[:3]
         if self._prefix is None:
-            return self.score_flat(
+            return self.score_flat_async(
                 params, flatten_for_forward(batch, train=False,
                                             compact_images=True))
-        pref, ok = self._prefix.score(params, batch)
-        scores = {k: v.reshape(B * R * O).copy() for k, v in pref.items()}
-        if not ok.all():
-            flat = flatten_for_forward(batch, train=False,
-                                       compact_images=True)
-            m = np.repeat(~ok, O)
-            sub = {k: (v if k in _IMG_KEYS or k == "img_index" else v[m])
-                   for k, v in flat.items()}
-            if "img_index" in sub:
-                sub["img_index"] = flat["img_index"][m]
-            fb = self.score_flat(params, sub)
-            for k in scores:
-                scores[k][m] = fb[k]
-        return scores
+        fin_prefix = self._prefix.score_async(params, batch)
+        # the flat fallback for ineligible slates (rare: synthetic mixes,
+        # dis-mode options) dispatches inside finalize — only all-eligible
+        # batches get full pipelining
+
+        def finalize():
+            pref, ok = fin_prefix()
+            scores = {k: v.reshape(B * R * O).copy() for k, v in pref.items()}
+            if not ok.all():
+                flat = flatten_for_forward(batch, train=False,
+                                           compact_images=True)
+                m = np.repeat(~ok, O)
+                sub = {k: (v if k in _IMG_KEYS or k == "img_index" else v[m])
+                       for k, v in flat.items()}
+                if "img_index" in sub:
+                    sub["img_index"] = flat["img_index"][m]
+                fb = self.score_flat(params, sub)
+                for k in scores:
+                    scores[k][m] = fb[k]
+            return scores
+
+        return finalize
 
 
 def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
@@ -273,6 +300,10 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
 
     mode: 'nsp' (discriminative), 'll_sum' (val_lm), 'll_mean' (val_avg_lm).
     Returns the metric dict (R@k/mean/MRR (+rounds) + NDCG).
+
+    One batch is kept in flight: batch i+1 is staged and dispatched before
+    batch i's scores are fetched, so host staging + the per-dispatch relay
+    latency overlap device compute (jax dispatch is async).
     """
     from unimm_tpu.data.dataset import flatten_for_forward
 
@@ -282,16 +313,18 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                           need_nsp=not need_lm, mesh=mesh)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
-    for batch_idx, batch in enumerate(loader, start=1):
-        B, R, O = batch["tokens"].shape[:3]
+    key = "nsp_prob" if mode == "nsp" else mode
+
+    def dispatch(batch):
         if need_lm:
-            scores = ev.score_slates(params, batch)
-        else:
-            flat = flatten_for_forward(batch, train=False,
-                                       compact_images=True)
-            scores = ev.score_flat(params, flat)
-        key = "nsp_prob" if mode == "nsp" else mode
-        out = scores[key].reshape(B, R, O)
+            return ev.score_slates_async(params, batch)
+        return ev.score_flat_async(
+            params, flatten_for_forward(batch, train=False,
+                                        compact_images=True))
+
+    def consume(batch_idx, batch, finalize):
+        B, R, O = batch["tokens"].shape[:3]
+        out = finalize()[key].reshape(B, R, O)
 
         if ranks_out is not None:
             ranks = np.asarray(M.scores_to_ranks(out))
@@ -314,6 +347,15 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                 f"r@1 {cur['r@1']:.4f} r@5 {cur['r@5']:.4f} "
                 f"r@10 {cur['r@10']:.4f} mean {cur['mean']:.4f} "
                 f"mrr {cur['mrr']:.4f} ndcg {cur['ndcg']:.4f}")
+
+    pending = None
+    for batch_idx, batch in enumerate(loader, start=1):
+        fin = dispatch(batch)
+        if pending is not None:
+            consume(*pending)
+        pending = (batch_idx, batch, fin)
+    if pending is not None:
+        consume(*pending)
     return {**sparse.retrieve(), **ndcg.retrieve()}
 
 

@@ -350,6 +350,14 @@ class PrefixScorer:
         Returns (scores {ll_sum/ll_mean: [B*R, O] float32 — rows of
         ineligible slates undefined}, ok [B*R] bool).
         """
+        return self.score_async(params, batch)()
+
+    def score_async(self, params, batch):
+        """Stage + dispatch all slate groups of a batch; return a closure
+        that fetches and assembles (scores, ok). Dispatches are async, so a
+        caller can stage/dispatch the NEXT batch before finalizing this one
+        (evaluate_split keeps one batch in flight — the host staging and
+        the ~30 ms/dispatch relay latency overlap device compute)."""
         tokens = np.asarray(batch["tokens"])
         B, R, O, Lx = tokens.shape
         NS = B * R
@@ -358,7 +366,7 @@ class PrefixScorer:
                   for k in ("ll_sum", "ll_mean")}
         sel = np.nonzero(ok)[0]
         if sel.size == 0:
-            return scores, ok
+            return lambda: (scores, ok)
 
         toks = tokens.reshape(NS, O, Lx)
         segs = np.asarray(batch["segments"]).reshape(NS, O, Lx)
@@ -423,8 +431,11 @@ class PrefixScorer:
             outs.append((g[:g.size - pad] if pad else g, pad,
                          self._grp_fn(params, ctx_batch, rows)))
 
-        for g, pad, res in outs:
-            for k in scores:
-                v = np.asarray(res[k])
-                scores[k][g] = v[:g.size] if pad else v
-        return scores, ok
+        def finalize():
+            for g, pad, res in outs:
+                for k in scores:
+                    v = np.asarray(res[k])
+                    scores[k][g] = v[:g.size] if pad else v
+            return scores, ok
+
+        return finalize
