@@ -187,3 +187,60 @@ def test_length_buckets_exact_dis_expanded(setup):
                                        **kw).score_flat(params, flat)
     np.testing.assert_allclose(out_b["nsp_prob"], out_p["nsp_prob"],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_async_equals_sync(setup):
+    """score_flat_async / score_slates_async (the one-batch-in-flight
+    pipelined forms used by evaluate_split) must reproduce the sync results
+    exactly — including the flat fallback for prefix-ineligible slates that
+    dispatches inside finalize."""
+    params, batch = setup
+    ev = evaluator.RankingEvaluator(TINY, chunk_size=16, dtype=jnp.float32)
+    flat = flatten_for_forward(batch, train=False, compact_images=True)
+    fin = ev.score_flat_async(params, flat)
+    sync = ev.score_flat(params, flat)
+    pipe = fin()
+    for k in sync:
+        np.testing.assert_array_equal(sync[k], pipe[k], err_msg=k)
+
+    from tests.test_prefix import make_shared_batch
+
+    mixed = make_shared_batch(np.random.default_rng(11), TINY)
+    mixed["mode"][0, 0] = 0            # one dis-mode slate -> ineligible,
+    mixed["ans_len"][0, 0] = 0         # exercises the finalize-time fallback
+    evp = evaluator.RankingEvaluator(TINY, chunk_size=16, dtype=jnp.float32,
+                                     need_lm=True, need_nsp=False,
+                                     prefix_group=2)
+    assert evp._prefix is not None
+    sync = evp.score_slates(params, mixed)
+    pipe = evp.score_slates_async(params, mixed)()
+    for k in sync:
+        np.testing.assert_array_equal(sync[k], pipe[k], err_msg=k)
+
+
+def test_evaluate_split_pipelined(setup):
+    """The production evaluate_split loop (batch i+1 dispatched before batch
+    i is finalized) is deterministic and consumes every batch in order."""
+    params, _ = setup
+    rng = np.random.default_rng(13)
+    batches = []
+    for i in range(3):
+        b = make_val_batch(rng, TINY)
+        B, R, O = b["tokens"].shape[:3]
+        b["gt_option_inds"] = rng.integers(0, O, (B, R)).astype(np.int32)
+        b["image_id"] = np.arange(i * B, i * B + B, dtype=np.int64)
+        b["round_id"] = np.ones((B,), np.int32)
+        b["gt_relevance"] = rng.random((B, O)).astype(np.float32)
+        batches.append(b)
+    kw = dict(mode="ll_sum", chunk_size=16, dtype=jnp.float32,
+              progress_every=0, log=lambda *a: None)
+    m1 = evaluator.evaluate_split(params, TINY, list(batches), **kw)
+    m2 = evaluator.evaluate_split(params, TINY, list(batches), **kw)
+    assert m1 == m2
+    assert all(np.isfinite(v) for v in m1.values())
+    # rank observations: one per (dialog, round) per batch
+    ranks = []
+    evaluator.evaluate_split(params, TINY, list(batches), ranks_out=ranks,
+                             **kw)
+    assert len(ranks) == sum(b["tokens"].shape[0] * b["tokens"].shape[1]
+                             for b in batches)
