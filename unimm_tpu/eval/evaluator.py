@@ -383,7 +383,10 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
     """Multi-checkpoint ensemble: per-model scores are min-max normalised per
     slate and summed (val.py:151-164 / evaluate.py:108-132). With
     ``test_split`` the loader yields [1, 100] slates and ranks_out records the
-    EvalAI format (round_id from the data)."""
+    EvalAI format (round_id from the data).
+
+    Pipelined like evaluate_split: all ensemble members' passes for batch
+    i+1 are dispatched before batch i's scores are fetched."""
     from unimm_tpu.data.dataset import flatten_for_forward
 
     need_lm = mode in ("ll_sum", "ll_mean")
@@ -393,15 +396,19 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     key = "nsp_prob" if mode == "nsp" else mode
-    for batch_idx, batch in enumerate(loader, start=1):
+
+    def dispatch(batch):
+        if need_lm:
+            return [ev.score_slates_async(params, batch)
+                    for params in param_list]
+        flat = flatten_for_forward(batch, train=False, compact_images=True)
+        return [ev.score_flat_async(params, flat) for params in param_list]
+
+    def consume(batch_idx, batch, fins):
         B, R, O = batch["tokens"].shape[:3]
-        flat = (None if need_lm else
-                flatten_for_forward(batch, train=False, compact_images=True))
         total = np.zeros((B, R, O), np.float64)
-        for params in param_list:
-            out = (ev.score_slates(params, batch) if need_lm
-                   else ev.score_flat(params, flat))[key].reshape(B, R, O)
-            total += minmax_per_slate(out)
+        for fin in fins:
+            total += minmax_per_slate(fin()[key].reshape(B, R, O))
 
         if ranks_out is not None:
             ranks = np.asarray(M.scores_to_ranks(total))
@@ -425,6 +432,15 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
             rid = np.asarray(batch["round_id"]).reshape(B)
             ndcg.observe(total[np.arange(B), rid - 1],
                          batch["gt_relevance"])
+
+    pending = None
+    for batch_idx, batch in enumerate(loader, start=1):
+        fins = dispatch(batch)
+        if pending is not None:
+            consume(*pending)
+        pending = (batch_idx, batch, fins)
+    if pending is not None:
+        consume(*pending)
     if test_split:
         return {}
     return {**sparse.retrieve(), **ndcg.retrieve()}
