@@ -43,7 +43,31 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 BASELINE_DIALOGS_PER_SEC_PER_CHIP = 0.03
 
 
+def wait_for_backend(probe_timeout=120.0, retries=15, retry_sleep=120.0):
+    """Backend init HANGS (no exception) when the axon TPU tunnel is down
+    (CLAUDE.md). Probe in a daemon thread; retry for ~30 min, then fail
+    loudly instead of hanging the driver."""
+    import sys
+    import threading
+
+    for attempt in range(retries):
+        done = []
+        th = threading.Thread(target=lambda: done.append(jax.devices()),
+                              daemon=True)
+        th.start()
+        th.join(timeout=probe_timeout)
+        if done:
+            return
+        print(f"bench: backend probe {attempt + 1}/{retries} timed out "
+              f"({probe_timeout:.0f}s) — TPU tunnel unreachable, retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(retry_sleep)
+    raise SystemExit("bench: TPU backend unreachable after "
+                     f"{retries} probes — refusing to hang")
+
+
 def main():
+    wait_for_backend()
     from unimm_tpu.config import VilbertConfig
     from unimm_tpu.eval.evaluator import RankingEvaluator
     from unimm_tpu.models import vilbert
