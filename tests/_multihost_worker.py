@@ -162,6 +162,21 @@ np.testing.assert_allclose(pscores["ll_sum"], flat_scores["ll_sum"],
 print("PREFIX", rank, [round(float(x), 4) for x in pscores["ll_sum"]],
       flush=True)
 
+# ---- 3c. pipelined (one-batch-in-flight) scoring multi-process: batch 2 is
+# dispatched on every process before batch 1 is finalized — enqueue order of
+# the sharded programs stays identical across processes, results == sync ----
+slates2 = _gen_slates(np.random.default_rng(13), cfg, B=1, R=3, O=4)
+fin1 = ev_lm.score_slates_async(state["params"], slates)
+fin2 = ev_lm.score_slates_async(state["params"], slates2)
+pipe1, pipe2 = fin1(), fin2()
+np.testing.assert_array_equal(pipe1["ll_sum"], pscores["ll_sum"])
+np.testing.assert_allclose(pipe2["ll_sum"],
+                           ev_lm.score_slates(state["params"],
+                                              slates2)["ll_sum"],
+                           rtol=0, atol=0)
+print("PIPELINE", rank, [round(float(x), 4) for x in pipe2["ll_sum"]],
+      flush=True)
+
 # ---- 4. multi-host checkpoint save: gather shards, rank 0 writes ----
 from unimm_tpu import checkpoint as C  # noqa: E402
 

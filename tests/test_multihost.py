@@ -139,6 +139,17 @@ def test_multiprocess_prefix_scores_agree(worker_outputs):
 
 
 @pytest.mark.slow
+def test_multiprocess_pipelined_scores_agree(worker_outputs):
+    """One-batch-in-flight async scoring under 2 processes: the interleaved
+    dispatch order is identical on every process and the results equal the
+    sync path (the worker asserts async == sync per process)."""
+    q0 = _parse(worker_outputs[0][0][1], "PIPELINE", 0)
+    q1 = _parse(worker_outputs[0][1][1], "PIPELINE", 1)
+    assert len(q0) == len(q1) == 12
+    np.testing.assert_allclose(q0, q1, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_multiprocess_save_and_guard(worker_outputs):
     """Rank 0 alone writes the gathered checkpoint (gather_to_host), and
     the multi-process shard_batch guard rejects non-divisible arrays."""
