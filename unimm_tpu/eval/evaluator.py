@@ -269,22 +269,26 @@ class RankingEvaluator:
                 params, flatten_for_forward(batch, train=False,
                                             compact_images=True))
         fin_prefix = self._prefix.score_async(params, batch)
-        # the flat fallback for ineligible slates (rare: synthetic mixes,
-        # dis-mode options) dispatches inside finalize — only all-eligible
-        # batches get full pipelining
+        # eligibility is decided host-side at dispatch time, so the flat
+        # fallback for ineligible slates (rare: synthetic mixes, dis-mode
+        # options) is dispatched eagerly too — mixed batches keep pipelining
+        ok = self._prefix.last_ok
+        fin_flat, m = None, None
+        if not ok.all():
+            flat = flatten_for_forward(batch, train=False,
+                                       compact_images=True)
+            m = np.repeat(~ok, O)
+            sub = {k: (v if k in _IMG_KEYS or k == "img_index" else v[m])
+                   for k, v in flat.items()}
+            if "img_index" in sub:
+                sub["img_index"] = flat["img_index"][m]
+            fin_flat = self.score_flat_async(params, sub)
 
         def finalize():
-            pref, ok = fin_prefix()
+            pref, _ = fin_prefix()
             scores = {k: v.reshape(B * R * O).copy() for k, v in pref.items()}
-            if not ok.all():
-                flat = flatten_for_forward(batch, train=False,
-                                           compact_images=True)
-                m = np.repeat(~ok, O)
-                sub = {k: (v if k in _IMG_KEYS or k == "img_index" else v[m])
-                       for k, v in flat.items()}
-                if "img_index" in sub:
-                    sub["img_index"] = flat["img_index"][m]
-                fb = self.score_flat(params, sub)
+            if fin_flat is not None:
+                fb = fin_flat()
                 for k in scores:
                     scores[k][m] = fb[k]
             return scores

@@ -362,6 +362,9 @@ class PrefixScorer:
         B, R, O, Lx = tokens.shape
         NS = B * R
         ok, lc, rows_max = slate_eligibility(batch)
+        # eligibility of the batch just dispatched, for callers that stage a
+        # fallback for the ~ok slates without waiting on finalize
+        self.last_ok = ok
         scores = {k: np.zeros((NS, O), np.float32)
                   for k in ("ll_sum", "ll_mean")}
         sel = np.nonzero(ok)[0]
