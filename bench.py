@@ -127,12 +127,18 @@ def main():
         ev.score_slates(params, b)           # distinct shapes may compile)
     # pinned protocol: 9 repeats of 6 scoring passes over distinct batches;
     # report the median repeat. 9 damps the +/-4% cross-process
-    # thermal/tunnel drift observed on v5e.
+    # thermal/tunnel drift observed on v5e. The loop mirrors the production
+    # evaluate_split pipelining: batch i+1 is staged + dispatched before
+    # batch i's scores are fetched, hiding host staging + relay latency.
     iters, repeats = 6, []
     for _ in range(9):
         t0 = time.perf_counter()
-        for i in range(iters):
-            ev.score_slates(params, batches[i])
+        pending = ev.score_slates_async(params, batches[0])
+        for i in range(1, iters):
+            nxt = ev.score_slates_async(params, batches[i])
+            pending()
+            pending = nxt
+        pending()
         dt = time.perf_counter() - t0
         repeats.append(B * R * O * iters / dt)
     seq_per_sec = sorted(repeats)[len(repeats) // 2]
