@@ -233,3 +233,32 @@ def test_train_cli_length_bucketed_accumulation(cli_world):
     assert int(np.asarray(state["step"])) == 6
     ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_train_lb")
     assert any(f.endswith(".ckpt") for f in os.listdir(ckpt_dir))
+
+
+def test_train_auto_resume(cli_world):
+    """-auto_resume: first launch starts fresh (no checkpoint yet), an
+    IDENTICAL relaunch resumes from the saved native state — the preempted
+    TPU-job restart pattern (no argv editing between launches; the
+    reference's recovery is manual -continue, SURVEY §5)."""
+    from unimm_tpu.cli import train
+    os.chdir(cli_world["root"])
+    args = _argv(cli_world, [
+        "-overfit", "-num_epochs", "1", "-batch_size", "12",
+        "-sequences_per_image", "6", "-num_negative_samples", "1",
+        "-eval_every_epochs", "99", "-save_name", "t_autoresume",
+        "-auto_resume"])
+    state1 = train.main(args)
+    step1 = int(np.asarray(state1["step"]))
+    assert step1 > 0
+    state2 = train.main(args)
+    step2 = int(np.asarray(state2["step"]))
+    assert step2 == 2 * step1, (step1, step2)
+
+
+def test_auto_resume_requires_save_name():
+    """Without -save_name the save_path is timestamped per launch, so a
+    relaunch could never find the previous run — refuse loudly."""
+    import pytest as _pytest
+    from unimm_tpu.cli import options
+    with _pytest.raises(SystemExit):
+        options.read_command_line(["-auto_resume"])

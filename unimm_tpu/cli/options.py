@@ -127,6 +127,16 @@ def read_command_line(argv=None) -> dict:
                              'route the batch through the exact dense-logits '
                              'step, raise, or allow silent truncation '
                              '(telemetry counts it either way)')
+    parser.add_argument('-auto_resume', action='store_true',
+                        help='preemption-safe restart (train.py): if this '
+                             "run's save_path already holds a native "
+                             'checkpoint, resume from its latest step '
+                             '(weights + AdamW moments + schedule position); '
+                             'otherwise start fresh, honoring -start_path as '
+                             'the warm-start. Requires -save_name so a '
+                             'relaunch resolves the same save_path. The '
+                             'reference has no auto-resume (SURVEY §5: '
+                             'recovery is manual -continue)')
     parser.add_argument('-attention_impl', default='pallas_block',
                         choices=['xla', 'pallas', 'pallas_block'],
                         help='text self-attention backend: XLA bias path, '
@@ -146,4 +156,10 @@ def read_command_line(argv=None) -> dict:
                                         parsed['visdom_env']))
     assert parsed['sequences_per_image'] <= 100
     assert parsed['visdial_tot_rounds'] <= 11
+    if parsed['auto_resume'] and not parsed['save_name']:
+        # without -save_name the save_path gets a fresh timestamp+rand suffix
+        # per launch, so a relaunch could never find the previous checkpoint
+        raise SystemExit('-auto_resume requires -save_name (the default '
+                         'save_path is timestamped per launch, so a relaunch '
+                         'would never resolve the previous run)')
     return parsed

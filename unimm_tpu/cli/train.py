@@ -80,10 +80,22 @@ def main(argv=None):
 
     mesh = pmesh.make_mesh(common.mesh_device_count(params),
                            mp=params["mesh_mp"])
-    # under -continue the start_path is the native full-state directory,
-    # restored below into the complete train state — not a params-only load
-    init_params_dict = (dict(params, start_path="") if params["continue"]
-                        else params)
+    # -auto_resume (preemption-safe restart, no reference analogue —
+    # SURVEY §5: recovery there is manual -continue): resume from this run's
+    # own native checkpoint dir when one exists, else start fresh with
+    # -start_path as the ordinary warm-start
+    auto_src = None
+    if params["auto_resume"] and not params["continue"]:
+        auto_dir = os.path.join(params["save_path"], "native")
+        if C.latest_native(auto_dir) is not None:
+            auto_src = auto_dir
+        else:
+            print(f"auto_resume: no checkpoint under {auto_dir!r} — "
+                  "fresh start")
+    # under -continue (or an auto-resume hit) the restore below loads the
+    # complete train state — not a params-only load from start_path
+    init_params_dict = (dict(params, start_path="")
+                        if params["continue"] or auto_src else params)
     model_params = common.init_model(init_params_dict, cfg)
     model_params, _ = pmesh.shard_params(model_params, mesh)
 
@@ -97,26 +109,31 @@ def main(argv=None):
     state = tstep.init_state(model_params, tx, seed=params["seed"])
 
     start_iter = 0
-    if params["continue"] and params["start_path"]:
-        if os.path.isfile(params["start_path"]):
+    resume_path = (params["start_path"]
+                   if params["continue"] and params["start_path"]
+                   else auto_src)
+    if resume_path:
+        if os.path.isfile(resume_path):
             # reference-format .ckpt: full-state resume (weights + AdamW
             # moments + schedule position, reference train.py:371-386)
             host_params, host_opt, iter0, n = C.load_reference_train_state(
-                params["start_path"], jax.device_get(state["params"]), tx,
+                resume_path, jax.device_get(state["params"]), tx,
                 batch_multiply=params["batch_multiply"])
             print(f"-continue from reference .ckpt: {n} tensors, "
                   f"iter_id {iter0}, Adam moments + schedule restored")
             host_state = dict(state, params=host_params, opt_state=host_opt,
                               step=jnp.asarray(iter0, jnp.int32))
         else:
-            latest = C.latest_native(params["start_path"])
+            latest = C.latest_native(resume_path)
             if latest is None:
                 # fail loudly: silently training from random weights under
                 # -continue would overwrite the run (the reference's
-                # torch.load also crashes on a missing file)
+                # torch.load also crashes on a missing file). Unreachable on
+                # the auto_resume path (auto_src is only set when a
+                # checkpoint exists).
                 raise FileNotFoundError(
                     f"-continue: no native checkpoint under "
-                    f"{params['start_path']!r}")
+                    f"{resume_path!r}")
             path, step_no = latest
             try:
                 host_state = C.restore_native(path, jax.device_get(state))
