@@ -262,3 +262,29 @@ def test_auto_resume_requires_save_name():
     from unimm_tpu.cli import options
     with _pytest.raises(SystemExit):
         options.read_command_line(["-auto_resume"])
+
+
+def test_dense_finetune_auto_resume(cli_world):
+    """Dense phase full-state resume (reference
+    dense_annotation_finetuning.py:95-130,324-326): the per-epoch .ckpt now
+    carries optimizer + scheduler state, and an identical -auto_resume
+    relaunch restores it and continues from the saved iter_id."""
+    from unimm_tpu.cli import dense_finetune
+    os.chdir(cli_world["root"])
+    args = _argv(cli_world, [
+        "-num_epochs", "2", "-batch_multiply", "1",
+        "-save_name", "t_dense_ar", "-auto_resume"])
+    state1 = dense_finetune.main(args)            # fresh start
+    step1 = int(np.asarray(state1["step"]))       # 2 epochs x 6 dialogs
+    assert step1 == 12
+    ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_dense_ar")
+    cks = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")]
+    assert cks == ["visdial_dialog_encoder_6.ckpt"]   # epoch-boundary save
+    import torch
+    blob = torch.load(os.path.join(ckpt_dir, cks[0]), map_location="cpu",
+                      weights_only=False)
+    assert "optimizer_state_dict" in blob and "scheduler_state_dict" in blob
+    state2 = dense_finetune.main(args)            # relaunch -> resumes
+    step2 = int(np.asarray(state2["step"]))
+    # restored step = saved iter_id (6) + another 2 epochs of 6 steps
+    assert step2 == 6 + 12, (step1, step2)

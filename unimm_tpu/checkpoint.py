@@ -441,6 +441,26 @@ def latest_native(directory: str):
     return os.path.join(directory, f"step_{step}"), step
 
 
+def latest_reference_ckpt(directory: str):
+    """(path, iter_id) of the highest-numbered
+    ``visdial_dialog_encoder_<iter>.ckpt`` under ``directory``, or None —
+    the reference-format analogue of ``latest_native`` (the dense phase
+    writes only .ckpt files, dense_annotation_finetuning.py:324-326)."""
+    if not os.path.isdir(directory):
+        return None
+    best = None
+    prefix, suffix = "visdial_dialog_encoder_", ".ckpt"
+    for name in os.listdir(directory):
+        if name.startswith(prefix) and name.endswith(suffix):
+            try:
+                it = int(name[len(prefix):-len(suffix)])
+            except ValueError:
+                continue
+            if best is None or it > best[1]:
+                best = (os.path.join(directory, name), it)
+    return best
+
+
 # ---------------------------------------------------------------------------
 # optimizer param grouping (train.py:322-347)
 # ---------------------------------------------------------------------------

@@ -134,7 +134,22 @@ def main(argv=None):
     # (4% padded compute) instead of 8x replicated compute.
     n_slate = 100
     S = -(-n_slate // dp) * dp if dp > 1 else n_slate
-    model_params = common.init_model(params, cfg)
+    # resume surface (reference dense_annotation_finetuning.py:95-130):
+    # -continue restores weights + AdamW moments + schedule position from a
+    # full .ckpt; -auto_resume (TPU-native, preemption-safe) picks this
+    # run's own latest .ckpt if one exists, else starts fresh with
+    # -start_path as the ordinary pretrained warm-start
+    resume_path = (params["start_path"]
+                   if params["continue"] and params["start_path"] else None)
+    if params["auto_resume"] and resume_path is None:
+        latest = C.latest_reference_ckpt(params["save_path"])
+        if latest is None:
+            print(f"auto_resume: no .ckpt under {params['save_path']!r} — "
+                  "fresh start")
+        else:
+            resume_path = latest[0]
+    init_params_dict = dict(params, start_path="") if resume_path else params
+    model_params = common.init_model(init_params_dict, cfg)
     model_params, _ = pmesh.shard_params(model_params, mesh)
     lang = None
     if os.path.exists(params["language_weights"]):
@@ -146,6 +161,24 @@ def main(argv=None):
     state = {"params": model_params, "opt_state": tx.init(model_params),
              "step": jnp.zeros((), jnp.int32),
              "rng": jax.random.PRNGKey(params["seed"])}
+    start_iter = 0
+    if resume_path:
+        host_params, host_opt, iter0, n = C.load_reference_train_state(
+            resume_path, jax.device_get(state["params"]), tx,
+            batch_multiply=params["batch_multiply"])
+        print(f"dense -continue from {resume_path}: {n} tensors, "
+              f"iter_id {iter0}, Adam moments + schedule restored")
+        host_state = dict(state, params=host_params, opt_state=host_opt,
+                          step=jnp.asarray(iter0, jnp.int32))
+
+        def _replace(tmpl, v):
+            sh = getattr(tmpl, "sharding", None)
+            if isinstance(sh, jax.sharding.NamedSharding):
+                return jax.device_put(v, sh)
+            return jnp.asarray(v)
+
+        state = jax.tree_util.tree_map(_replace, state, host_state)
+        start_iter = iter0
     dense_step = make_dense_step(cfg, tx, nsp_coeff=params["nsp_loss_coeff"],
                                  dtype=common.compute_dtype(params),
                                  mesh=mesh if mesh.size > 1 else None,
@@ -154,7 +187,8 @@ def main(argv=None):
     host_rng = np.random.default_rng(params["seed"])
     start_t = time.perf_counter()
     for epoch_id, idx, batch in batch_iter(loader, params["num_epochs"]):
-        iter_id = idx + epoch_id * num_iter_epoch
+        # startIterID offset exactly as the reference (:147)
+        iter_id = start_iter + idx + epoch_id * num_iter_epoch
 
         # shuffle options with GT first (dense_annotation_finetuning.py:163-166)
         gt = int(batch["gt_option"][0])
@@ -229,14 +263,21 @@ def main(argv=None):
 
         epoch_len = 100 if params["overfit"] else num_iter_epoch
         if iter_id % epoch_len == 0 and iter_id > 0:
-            # torch-format write is plain file IO: process 0 only (all
-            # processes hold identical replicated/locally-complete params;
-            # concurrent writes to one shared path would corrupt it)
+            # full-state .ckpt exactly like the reference's 4-key dict
+            # (model + optimizer + scheduler + iter_id, :324-326) so dense
+            # runs resume via -continue / -auto_resume. gather_to_host is a
+            # collective — every process participates; the torch-format
+            # write is plain file IO: process 0 only (concurrent writes to
+            # one shared path would corrupt it)
+            host_state = pmesh.gather_to_host(state, mesh)
             if rank == 0:
                 C.save_reference_ckpt(
                     os.path.join(params["save_path"],
                                  f"visdial_dialog_encoder_{iter_id}.ckpt"),
-                    jax.device_get(state["params"]), iter_id)
+                    host_state["params"], iter_id,
+                    opt_state=host_state["opt_state"],
+                    lang_set=C.language_param_set(lang) if lang else set(),
+                    lr=params["lr"], image_lr=params["image_lr"])
             if iter_id // epoch_len >= 2:
                 eval_loader = DataLoader(
                     eval_dataset, 5 if params["overfit"] else 4,

@@ -128,7 +128,8 @@ def read_command_line(argv=None) -> dict:
                              'step, raise, or allow silent truncation '
                              '(telemetry counts it either way)')
     parser.add_argument('-auto_resume', action='store_true',
-                        help='preemption-safe restart (train.py): if this '
+                        help='preemption-safe restart (train + '
+                             'dense_finetune): if this '
                              "run's save_path already holds a native "
                              'checkpoint, resume from its latest step '
                              '(weights + AdamW moments + schedule position); '
