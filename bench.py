@@ -43,21 +43,31 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 BASELINE_DIALOGS_PER_SEC_PER_CHIP = 0.03
 
 
-def wait_for_backend(probe_timeout=120.0, retries=15, retry_sleep=120.0):
+def wait_for_backend(probe_timeout=120.0, retries=8, retry_sleep=120.0):
     """Backend init HANGS (no exception) when the axon TPU tunnel is down
-    (CLAUDE.md). Probe in a daemon thread; retry for ~30 min, then fail
-    loudly instead of hanging the driver."""
+    (CLAUDE.md). Probe in a daemon thread; retry ~30 min on hangs, then fail
+    loudly instead of hanging the driver. A probe that RAISES (backend
+    misconfiguration, not a tunnel hang) is re-raised immediately — the
+    error was available in milliseconds and retrying would only mask it."""
     import sys
     import threading
 
     for attempt in range(retries):
-        done = []
-        th = threading.Thread(target=lambda: done.append(jax.devices()),
-                              daemon=True)
+        done, err = [], []
+
+        def probe():
+            try:
+                done.append(jax.devices())
+            except BaseException as e:   # noqa: BLE001 — reraised below
+                err.append(e)
+
+        th = threading.Thread(target=probe, daemon=True)
         th.start()
         th.join(timeout=probe_timeout)
         if done:
             return
+        if err:
+            raise err[0]
         print(f"bench: backend probe {attempt + 1}/{retries} timed out "
               f"({probe_timeout:.0f}s) — TPU tunnel unreachable, retrying",
               file=sys.stderr, flush=True)
@@ -78,42 +88,11 @@ def main():
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
 
-    # val_lm-shaped work: 2 dialogs x 10 rounds x 100 candidates per batch.
-    B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
-
-    def make_val_batch():
-        # per (dialog, round): one shared context of 58-191 tokens; per
-        # option a 2-8 token answer appended as first copy + masked second
-        # copy with the labels on the second copy (encode_gen layout)
-        tokens = np.zeros((B, R, O, L), np.int32)
-        segments = np.zeros((B, R, O, L), np.int32)
-        labels = np.full((B, R, O, L), -1, np.int32)
-        ctx_end = np.zeros((B, R, O), np.int32)
-        ans_len = np.zeros((B, R, O), np.int32)
-        for b in range(B):
-            for r in range(R):
-                lc = int(rng.integers(58, 192))
-                ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
-                cs = rng.integers(0, 2, lc).astype(np.int32)
-                for o in range(O):
-                    a = int(rng.integers(2, 9))
-                    ans = rng.integers(1, cfg.vocab_size, a).astype(np.int32)
-                    tokens[b, r, o, :lc] = ctx
-                    segments[b, r, o, :lc] = cs
-                    t1, t2 = lc + a, min(lc + 2 * a, L)
-                    tokens[b, r, o, lc:t1] = ans
-                    tokens[b, r, o, t1:t2] = ans[:t2 - t1]
-                    labels[b, r, o, t1:t2] = ans[:t2 - t1]
-                    ctx_end[b, r, o] = t1
-                    ans_len[b, r, o] = a
-        return {
-            "tokens": tokens, "segments": segments,
-            "mode": np.ones((B, R, O), np.int32),
-            "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
-            "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
-            "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
-            "image_mask": np.ones((B, Rg), np.float32),
-        }
+    # val_lm-shaped work: 2 dialogs x 10 rounds x 100 candidates per batch
+    # (shared-context encode_gen slates — canonical generator shared with
+    # the A/B benches so every measured series uses the same workload)
+    from scripts.bench_workload import make_val_batch
+    B, R, O = 2, 10, 100
 
     # chunk 250 for the (rare) flat fallback; the prefix scorer groups
     # slates itself (default group 16 -> balanced groups of 10 here, the
@@ -122,7 +101,7 @@ def main():
                           need_lm=True, need_nsp=False)
     # 6 DISTINCT batches: byte-identical dispatches can return memoised
     # through the TPU relay (CLAUDE.md), so no batch repeats within a repeat
-    batches = [make_val_batch() for _ in range(6)]
+    batches = [make_val_batch(rng, cfg, B, R, O) for _ in range(6)]
     for b in batches:                        # compile + warmup (every batch:
         ev.score_slates(params, b)           # distinct shapes may compile)
     # pinned protocol: 9 repeats of 6 scoring passes over distinct batches;

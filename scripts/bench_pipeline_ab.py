@@ -22,37 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def make_val_batch(rng, cfg):
-    B, R, O, L, Rg = 2, 10, 100, cfg.max_seq_len, cfg.max_regions
-    tokens = np.zeros((B, R, O, L), np.int32)
-    segments = np.zeros((B, R, O, L), np.int32)
-    labels = np.full((B, R, O, L), -1, np.int32)
-    ctx_end = np.zeros((B, R, O), np.int32)
-    ans_len = np.zeros((B, R, O), np.int32)
-    for b in range(B):
-        for r in range(R):
-            lc = int(rng.integers(58, 192))
-            ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
-            cs = rng.integers(0, 2, lc).astype(np.int32)
-            for o in range(O):
-                a = int(rng.integers(2, 9))
-                ans = rng.integers(1, cfg.vocab_size, a).astype(np.int32)
-                tokens[b, r, o, :lc] = ctx
-                segments[b, r, o, :lc] = cs
-                t1, t2 = lc + a, min(lc + 2 * a, L)
-                tokens[b, r, o, lc:t1] = ans
-                tokens[b, r, o, t1:t2] = ans[:t2 - t1]
-                labels[b, r, o, t1:t2] = ans[:t2 - t1]
-                ctx_end[b, r, o] = t1
-                ans_len[b, r, o] = a
-    return {
-        "tokens": tokens, "segments": segments,
-        "mode": np.ones((B, R, O), np.int32),
-        "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
-        "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
-        "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
-        "image_mask": np.ones((B, Rg), np.float32),
-    }
+from bench_workload import make_val_batch  # noqa: E402  (canonical workload)
 
 
 def main():

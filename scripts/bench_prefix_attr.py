@@ -33,7 +33,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-from bench_prefix_ab import make_val_batch  # noqa: E402  (same workload)
+from bench_workload import make_val_batch  # noqa: E402  (canonical workload)
 
 
 def stage_group(batch, sc, Lcb, W=16, gsize=10):

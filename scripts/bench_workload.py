@@ -1,0 +1,50 @@
+"""Canonical val_lm bench workload (shared-context generative slates).
+
+The single source of truth for the slate generator used by bench.py,
+scripts/bench_pipeline_ab.py, scripts/bench_prefix_ab.py and
+scripts/bench_prefix_attr.py — one place to change the workload shape so the
+benches stay comparable. The RNG draw ORDER is bench.py's original
+(per-option answer draws): changing it would silently change every measured
+series.
+
+Layout per (dialog, round): one shared context of 58-191 tokens; per option
+a 2-8 token answer appended as the first copy + a masked second copy with
+the labels on the second copy, exactly as data/encoding.py's encode_gen
+emits for real VisDial slates (the 100 options of a round share their
+context and differ only in the answer).
+"""
+
+import numpy as np
+
+
+def make_val_batch(rng, cfg, B=2, R=10, O=100):
+    L, Rg = cfg.max_seq_len, cfg.max_regions
+    tokens = np.zeros((B, R, O, L), np.int32)
+    segments = np.zeros((B, R, O, L), np.int32)
+    labels = np.full((B, R, O, L), -1, np.int32)
+    ctx_end = np.zeros((B, R, O), np.int32)
+    ans_len = np.zeros((B, R, O), np.int32)
+    for b in range(B):
+        for r in range(R):
+            lc = int(rng.integers(58, 192))
+            ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
+            cs = rng.integers(0, 2, lc).astype(np.int32)
+            for o in range(O):
+                a = int(rng.integers(2, 9))
+                ans = rng.integers(1, cfg.vocab_size, a).astype(np.int32)
+                tokens[b, r, o, :lc] = ctx
+                segments[b, r, o, :lc] = cs
+                t1, t2 = lc + a, min(lc + 2 * a, L)
+                tokens[b, r, o, lc:t1] = ans
+                tokens[b, r, o, t1:t2] = ans[:t2 - t1]
+                labels[b, r, o, t1:t2] = ans[:t2 - t1]
+                ctx_end[b, r, o] = t1
+                ans_len[b, r, o] = a
+    return {
+        "tokens": tokens, "segments": segments,
+        "mode": np.ones((B, R, O), np.int32),
+        "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
+        "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
+        "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
+        "image_mask": np.ones((B, Rg), np.float32),
+    }

@@ -271,3 +271,44 @@ def test_targz_archive_loading(tmp_path):
                                 C.iter_param_items(loaded)):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resume_preserves_mu_dtype(tmp_path, params):
+    """-adam_mu_dtype bfloat16 + .ckpt resume: the grafted moments keep the
+    template leaf dtype (restoring fp32 mu would retrace the train step for
+    one step and transiently double mu HBM)."""
+    import jax.numpy as jnp
+    import optax
+
+    from unimm_tpu.train import optim
+
+    ocfg = optim.OptimConfig(lr=1e-3, mu_dtype="bfloat16")
+    tx = optim.make_optimizer(params, ocfg)
+    st = tx.init(params)
+    path = str(tmp_path / "mu_bf16.ckpt")
+    C.save_reference_ckpt(path, params, 4, opt_state=st)
+    _, st2, _, _ = C.load_reference_train_state(path, params, tx)
+
+    def dtypes(node, pick):
+        out = []
+
+        def rec(n):
+            if isinstance(n, optax.ScaleByAdamState):
+                out.extend(l.dtype for l in jax.tree_util.tree_leaves(
+                    getattr(n, pick)))
+            elif hasattr(n, "_fields"):
+                for f in n._fields:
+                    rec(getattr(n, f))
+            elif isinstance(n, (tuple, list)):
+                for x in n:
+                    rec(x)
+            elif isinstance(n, dict):
+                for x in n.values():
+                    rec(x)
+
+        rec(node)
+        return out
+
+    assert dtypes(st2, "mu") == dtypes(st, "mu")
+    assert set(dtypes(st2, "mu")) == {jnp.bfloat16.dtype}
+    assert set(dtypes(st2, "nu")) == {jnp.float32.dtype}

@@ -284,7 +284,14 @@ def test_dense_finetune_auto_resume(cli_world):
     blob = torch.load(os.path.join(ckpt_dir, cks[0]), map_location="cpu",
                       weights_only=False)
     assert "optimizer_state_dict" in blob and "scheduler_state_dict" in blob
+    ck6 = os.path.join(ckpt_dir, cks[0])
+    bytes6 = open(ck6, "rb").read()
     state2 = dense_finetune.main(args)            # relaunch -> resumes
     step2 = int(np.asarray(state2["step"]))
     # restored step = saved iter_id (6) + another 2 epochs of 6 steps
     assert step2 == 6 + 12, (step1, step2)
+    # the resume-point checkpoint is NOT overwritten (the relaunch's first
+    # step lands on iter_id 6); the relaunch saves at 12 instead
+    assert open(ck6, "rb").read() == bytes6
+    assert os.path.exists(os.path.join(ckpt_dir,
+                                       "visdial_dialog_encoder_12.ckpt"))

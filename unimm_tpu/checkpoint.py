@@ -218,7 +218,10 @@ def _graft_opt_state(node, mu_full, nu_full, upd_count, sched_count):
                     return {k: graft(v, full[k]) for k, v in tmpl.items()}
                 if isinstance(tmpl, optax.MaskedNode):
                     return tmpl
-                return jax.numpy.asarray(np.asarray(full, dtype=np.float32))
+                # keep the template leaf dtype (-adam_mu_dtype bfloat16
+                # builds bf16 mu; restoring fp32 there would retrace the
+                # whole train step for one step and double mu HBM)
+                return jax.numpy.asarray(np.asarray(full), tmpl.dtype)
             return n._replace(
                 count=jax.numpy.asarray(upd_count, n.count.dtype),
                 mu=graft(n.mu, mu_full), nu=graft(n.nu, nu_full))

@@ -262,7 +262,12 @@ def main(argv=None):
                 viz.line_plot(iter_id, v, "loss", k)
 
         epoch_len = 100 if params["overfit"] else num_iter_epoch
-        if iter_id % epoch_len == 0 and iter_id > 0:
+        # `> start_iter` (not `> 0`): the first step of a resumed run lands
+        # ON the restored iter_id, and re-saving there would overwrite the
+        # just-restored checkpoint with a one-step-newer state under the
+        # same label — under repeated preemption the schedule position
+        # would then never advance past the resume point
+        if iter_id % epoch_len == 0 and iter_id > start_iter:
             # full-state .ckpt exactly like the reference's 4-key dict
             # (model + optimizer + scheduler + iter_id, :324-326) so dense
             # runs resume via -continue / -auto_resume. gather_to_host is a

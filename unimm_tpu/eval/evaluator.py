@@ -278,10 +278,10 @@ class RankingEvaluator:
             flat = flatten_for_forward(batch, train=False,
                                        compact_images=True)
             m = np.repeat(~ok, O)
-            sub = {k: (v if k in _IMG_KEYS or k == "img_index" else v[m])
+            # per-image arrays (_IMG_KEYS) pass whole; every per-sequence
+            # array, img_index included, is masked to the ineligible rows
+            sub = {k: (v if k in _IMG_KEYS else v[m])
                    for k, v in flat.items()}
-            if "img_index" in sub:
-                sub["img_index"] = flat["img_index"][m]
             fin_flat = self.score_flat_async(params, sub)
 
         def finalize():

@@ -211,6 +211,11 @@ class PrefixScorer:
         # with_head=False stops before the MLM label head (attribution
         # probes only, scripts/bench_prefix_attr.py)
         cfg, dtype = self.cfg, self.dtype
+        # fp32 tied-decoder bias BEFORE the compute-dtype cast: the flat path
+        # (unimm.forward_eval) takes it fp32-direct from the original params,
+        # so a bf16 round-trip here would shift near-tied options between the
+        # prefix and flat scorers inside one mixed batch
+        d_bias = params["cls"]["predictions"]["bias"].astype(jnp.float32)
         params = vilbert.cast_floating(params, dtype)
         p = params["bert"]
         G, O, W = rows["tokens"].shape
@@ -333,7 +338,6 @@ class PrefixScorer:
         hid = vilbert.mlm_head_at_positions(
             params, cfg, x.reshape(G * O, W, -1), pos_l)
         decoder = params["bert"]["embeddings"]["word_embeddings"].astype(dtype)
-        d_bias = params["cls"]["predictions"]["bias"].astype(jnp.float32)
         nll = L.online_softmax_xent(hid, decoder, d_bias, labs)
         cnt = jnp.sum((labs != -1).astype(jnp.float32), -1)
         nll_sum = jnp.sum(nll, -1)
