@@ -186,3 +186,24 @@ def test_prefix_on_real_encoder_output(params):
     for k in ("ll_sum", "ll_mean"):
         np.testing.assert_allclose(out[k].reshape(-1), ref[k],
                                    rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_bench_workload_slates_are_prefix_eligible():
+    """bench.py's headline number depends on the canonical bench workload
+    routing through the prefix scorer: if slate_eligibility ever stops
+    accepting it (a workload or eligibility regression), the bench would
+    silently measure the ~4x slower flat path instead."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.bench_workload import make_val_batch
+
+    import dataclasses
+
+    rng = np.random.default_rng(0)
+    # the generator draws 58-191-token contexts: needs the real max_seq_len
+    cfg = dataclasses.replace(TINY, max_seq_len=256)
+    batch = make_val_batch(rng, cfg, B=2, R=3, O=8)
+    ok, lc, rows_max = slate_eligibility(batch)
+    assert ok.all(), ok
+    assert (lc > 0).all() and (rows_max >= 1).all()
