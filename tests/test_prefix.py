@@ -207,3 +207,57 @@ def test_bench_workload_slates_are_prefix_eligible():
     ok, lc, rows_max = slate_eligibility(batch)
     assert ok.all(), ok
     assert (lc > 0).all() and (rows_max >= 1).all()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_prefix_matches_flat_fuzz(params, seed):
+    """Randomized slate sweep: tiny contexts (down to 2 tokens), 1-token
+    answers, O=1 slates, and answer-row counts straddling the W bucket
+    boundaries must all score exactly like the flat path (fp32)."""
+    rng = np.random.default_rng(100 + seed)
+    L = TINY.max_seq_len
+    B = int(rng.integers(1, 3))
+    R = int(rng.integers(1, 4))
+    O = int(rng.integers(1, 9))
+    Rg = TINY.max_regions
+    tokens = np.zeros((B, R, O, L), np.int32)
+    segments = np.zeros((B, R, O, L), np.int32)
+    labels = np.full((B, R, O, L), -1, np.int32)
+    ctx_end = np.zeros((B, R, O), np.int32)
+    ans_len = np.zeros((B, R, O), np.int32)
+    for b in range(B):
+        for r in range(R):
+            lc = int(rng.integers(2, L - 2))
+            ctx = rng.integers(1, TINY.vocab_size, lc).astype(np.int32)
+            cseg = rng.integers(0, 2, lc).astype(np.int32)
+            for o in range(O):
+                a = int(rng.integers(1, max(2, min(9, L - lc))))
+                ans = rng.integers(1, TINY.vocab_size, a).astype(np.int32)
+                tokens[b, r, o, :lc] = ctx
+                segments[b, r, o, :lc] = cseg
+                t1 = min(lc + a, L)
+                tokens[b, r, o, lc:t1] = ans[:t1 - lc]
+                t2 = min(lc + 2 * a, L)
+                tokens[b, r, o, t1:t2] = ans[:t2 - t1]
+                segments[b, r, o, lc:t2] = cseg[-1]
+                labels[b, r, o, t1:t2] = ans[:t2 - t1]
+                ctx_end[b, r, o] = lc + a
+                ans_len[b, r, o] = a
+    batch = {
+        "tokens": tokens, "segments": segments,
+        "mode": np.ones((B, R, O), np.int32),
+        "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
+        "image_feat": rng.normal(size=(B, Rg, TINY.v_feature_size))
+        .astype(np.float32),
+        "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
+        "image_mask": np.ones((B, Rg), np.float32),
+    }
+    ok, _, rows_max = slate_eligibility(batch)
+    assert ok.all()
+    ref = _flat_scores(params, batch)
+    out, ok2 = PrefixScorer(TINY, dtype=jnp.float32,
+                            group=int(rng.integers(1, 5))).score(params, batch)
+    assert ok2.all()
+    for k in ("ll_sum", "ll_mean"):
+        np.testing.assert_allclose(out[k].reshape(-1), ref[k],
+                                   rtol=3e-4, atol=3e-5, err_msg=k)
