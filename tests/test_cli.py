@@ -295,3 +295,92 @@ def test_dense_finetune_auto_resume(cli_world):
     assert open(ck6, "rb").read() == bytes6
     assert os.path.exists(os.path.join(ckpt_dir,
                                        "visdial_dialog_encoder_12.ckpt"))
+
+
+def test_train_kill9_then_auto_resume(tmp_path):
+    """Real preemption drill (the reference has no recovery story beyond
+    manual -continue, SURVEY §5): SIGKILL a training run after its first
+    epoch checkpoint lands, relaunch the IDENTICAL command with
+    -auto_resume, and require it to restore the latest native state and
+    finish the remaining epochs."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from tests import fixtures
+
+    root = str(tmp_path)
+    paths, tok, reader = fixtures.write_fixture_tree(root)
+    model_cfg = os.path.join(root, "tiny_model.json")
+    with open(model_cfg, "w") as f:
+        json.dump(TINY_MODEL_JSON, f)
+
+    argv = [
+        "-visdial_processed_train", paths["visdial_processed_train"],
+        "-visdial_processed_val", paths["visdial_processed_val"],
+        "-visdial_processed_test", paths["visdial_processed_test"],
+        "-visdial_processed_train_dense", paths["visdial_processed_train_dense"],
+        "-visdial_processed_train_dense_annotations",
+        paths["visdial_processed_train_dense_annotations"],
+        "-visdial_processed_val_dense_annotations",
+        paths["visdial_processed_val_dense_annotations"],
+        "-visdial_image_feats", paths["visdial_image_feats"],  # on-disk npz
+        "-vocab_path", paths["vocab_path"],
+        "-model_config", model_cfg,
+        "-max_seq_len", "96", "-num_options", "20", "-num_workers", "2",
+        "-eval_chunk", "64", "-dtype", "float32",
+        "-save_path", os.path.join(root, "ckpt"),
+        "-language_weights", "/nonexistent",
+        "-num_epochs", "3", "-batch_size", "12", "-sequences_per_image", "6",
+        "-num_negative_samples", "1", "-eval_every_epochs", "99",
+        "-save_name", "kill9", "-auto_resume",
+    ]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_test_cache'); "
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0); "
+        "jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0); "
+        "import numpy as np; from unimm_tpu.cli import train; "
+        f"s = train.main({argv!r}); "
+        "print('FINAL_STEP', int(np.asarray(s['step'])), flush=True)"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_glob = os.path.join(root, "ckpt", "kill9")
+
+    log1 = os.path.join(root, "run1.log")
+    # file-backed stdout: a PIPE nobody drains fills with XLA warnings and
+    # blocks the subprocess before it ever reaches the checkpoint
+    with open(log1, "wb") as lf:
+        p1 = subprocess.Popen([sys.executable, "-c", code], cwd=repo,
+                              stdout=lf, stderr=subprocess.STDOUT)
+        try:
+            # wait for epoch 1's reference .ckpt (written AFTER the native
+            # orbax save, so the native state is complete once it appears)
+            deadline = _time.time() + 600
+            while _time.time() < deadline:
+                if os.path.isdir(ckpt_glob) and any(
+                        f.endswith(".ckpt") for f in os.listdir(ckpt_glob)):
+                    break
+                if p1.poll() is not None:
+                    out = open(log1).read()
+                    raise AssertionError(f"run 1 exited early:\n{out[-3000:]}")
+                _time.sleep(0.5)
+            else:
+                out = open(log1).read()
+                raise AssertionError(
+                    f"run 1 never produced a checkpoint:\n{out[-3000:]}")
+        finally:
+            if p1.poll() is None:
+                p1.send_signal(signal.SIGKILL)
+            p1.wait(timeout=60)
+
+    out2 = subprocess.run([sys.executable, "-c", code], cwd=repo, timeout=900,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT
+                          ).stdout.decode()
+    assert "restored native checkpoint at step " in out2, out2[-3000:]
+    restored = int(out2.split("restored native checkpoint at step ")[1]
+                   .split()[0])
+    final = int(out2.split("FINAL_STEP ")[1].split()[0])
+    # 6 train dialogs / (12 seqs / 6 per image) = 3 iters per epoch
+    assert restored >= 3 and final == restored + 9, (restored, final)
