@@ -261,3 +261,45 @@ def test_prefix_matches_flat_fuzz(params, seed):
     for k in ("ll_sum", "ll_mean"):
         np.testing.assert_allclose(out[k].reshape(-1), ref[k],
                                    rtol=3e-4, atol=3e-5, err_msg=k)
+
+
+def test_prefix_long_answers_widen_W(params):
+    """Answers long enough that the answer-rows pass must widen past its
+    16-row base bucket (W doubles to cover need) still match the flat path."""
+    rng = np.random.default_rng(42)
+    L = TINY.max_seq_len            # 32
+    B, R, O, Rg = 1, 2, 3, TINY.max_regions
+    tokens = np.zeros((B, R, O, L), np.int32)
+    segments = np.zeros((B, R, O, L), np.int32)
+    labels = np.full((B, R, O, L), -1, np.int32)
+    ctx_end = np.zeros((B, R, O), np.int32)
+    ans_len = np.zeros((B, R, O), np.int32)
+    for r in range(R):
+        lc = 4
+        ctx = rng.integers(1, TINY.vocab_size, lc).astype(np.int32)
+        for o in range(O):
+            a = int(rng.integers(10, 14))       # 2a rows = 20-26 > 16
+            ans = rng.integers(1, TINY.vocab_size, a).astype(np.int32)
+            tokens[0, r, o, :lc] = ctx
+            t1, t2 = lc + a, min(lc + 2 * a, L)
+            tokens[0, r, o, lc:t1] = ans
+            tokens[0, r, o, t1:t2] = ans[:t2 - t1]
+            labels[0, r, o, t1:t2] = ans[:t2 - t1]
+            ctx_end[0, r, o], ans_len[0, r, o] = t1, a
+    batch = {
+        "tokens": tokens, "segments": segments,
+        "mode": np.ones((B, R, O), np.int32),
+        "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
+        "image_feat": rng.normal(size=(B, Rg, TINY.v_feature_size))
+        .astype(np.float32),
+        "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
+        "image_mask": np.ones((B, Rg), np.float32),
+    }
+    ok, _, rows_max = slate_eligibility(batch)
+    assert ok.all() and rows_max.max() > 16
+    ref = _flat_scores(params, batch)
+    out, ok2 = PrefixScorer(TINY, dtype=jnp.float32).score(params, batch)
+    assert ok2.all()
+    for k in ("ll_sum", "ll_mean"):
+        np.testing.assert_allclose(out[k].reshape(-1), ref[k],
+                                   rtol=3e-4, atol=3e-5, err_msg=k)
