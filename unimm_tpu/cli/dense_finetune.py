@@ -170,14 +170,7 @@ def main(argv=None):
               f"iter_id {iter0}, Adam moments + schedule restored")
         host_state = dict(state, params=host_params, opt_state=host_opt,
                           step=jnp.asarray(iter0, jnp.int32))
-
-        def _replace(tmpl, v):
-            sh = getattr(tmpl, "sharding", None)
-            if isinstance(sh, jax.sharding.NamedSharding):
-                return jax.device_put(v, sh)
-            return jnp.asarray(v)
-
-        state = jax.tree_util.tree_map(_replace, state, host_state)
+        state = pmesh.restore_placement(state, host_state)
         start_iter = iter0
     dense_step = make_dense_step(cfg, tx, nsp_coeff=params["nsp_loss_coeff"],
                                  dtype=common.compute_dtype(params),

@@ -148,18 +148,7 @@ def main(argv=None):
                     "(-start_path <file.ckpt> restores moments + schedule)."
                 ) from e
 
-        # re-establish the pre-restore placement: mesh-sharded leaves
-        # (params + the Adam moments tx.init derived from them) go back to
-        # their NamedShardings — replicating the moments would OOM the
-        # sharded-model case; everything else (scalar counts, rng) stays
-        # uncommitted so jit may place it freely
-        def _replace(tmpl, v):
-            s = getattr(tmpl, "sharding", None)
-            if isinstance(s, jax.sharding.NamedSharding):
-                return jax.device_put(v, s)
-            return jnp.asarray(v)
-
-        state = jax.tree_util.tree_map(_replace, state, host_state)
+        state = pmesh.restore_placement(state, host_state)
         start_iter = int(np.asarray(state["step"]))
         print(f"restored native checkpoint at step {start_iter}")
 

@@ -24,6 +24,7 @@ import math
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -150,6 +151,22 @@ def gather_to_host(tree, mesh: Mesh, max_bytes: int = 256 * 1024 * 1024):
         group_bytes += nbytes
     flush()
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def restore_placement(template_tree, host_tree):
+    """Re-establish a restored host state's pre-restore placement: leaves
+    whose template carries a NamedSharding (mesh-sharded params and the
+    Adam moments tx.init derived from them) go back to their shardings —
+    replicating the moments would OOM exactly the sharded-model case —
+    while everything else (scalar counts, rng) stays uncommitted so jit may
+    place it freely."""
+    def put(tmpl, v):
+        s = getattr(tmpl, "sharding", None)
+        if isinstance(s, jax.sharding.NamedSharding):
+            return jax.device_put(v, s)
+        return jnp.asarray(v)
+
+    return jax.tree_util.tree_map(put, template_tree, host_tree)
 
 
 def shard_batch(batch, mesh: Mesh):
