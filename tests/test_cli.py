@@ -357,7 +357,7 @@ def test_train_kill9_then_auto_resume(tmp_path):
         try:
             # wait for epoch 1's reference .ckpt (written AFTER the native
             # orbax save, so the native state is complete once it appears)
-            deadline = _time.time() + 600
+            deadline = _time.time() + 1500   # cold 1-cpu compile headroom
             while _time.time() < deadline:
                 if os.path.isdir(ckpt_glob) and any(
                         f.endswith(".ckpt") for f in os.listdir(ckpt_glob)):
@@ -375,7 +375,7 @@ def test_train_kill9_then_auto_resume(tmp_path):
                 p1.send_signal(signal.SIGKILL)
             p1.wait(timeout=60)
 
-    out2 = subprocess.run([sys.executable, "-c", code], cwd=repo, timeout=900,
+    out2 = subprocess.run([sys.executable, "-c", code], cwd=repo, timeout=1500,
                           stdout=subprocess.PIPE, stderr=subprocess.STDOUT
                           ).stdout.decode()
     assert "restored native checkpoint at step " in out2, out2[-3000:]
