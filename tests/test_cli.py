@@ -75,6 +75,11 @@ def test_val_lm_cli(cli_world):
     assert os.path.exists("t_val_lm_predictions.txt")
     ranks = json.load(open("t_val_lm_predictions.txt"))
     assert len(ranks) == 3 * 10 and len(ranks[0]["ranks"]) == 20
+    # -gen_prefix 0 disables the prefix-cache scorer; fp32 metrics match
+    m2 = val_lm.main(_argv(cli_world, ["-val_dis", "0", "-gen_prefix", "0",
+                                       "-save_name", "t_val_lm_flat"]))
+    for k in ("ndcg", "mrr", "mean"):
+        assert abs(m2[k] - metrics[k]) < 1e-6, (k, m2[k], metrics[k])
 
 
 def test_val_avg_lm_cli(cli_world):

@@ -127,6 +127,16 @@ def read_command_line(argv=None) -> dict:
                              'route the batch through the exact dense-logits '
                              'step, raise, or allow silent truncation '
                              '(telemetry counts it either way)')
+    parser.add_argument('-gen_prefix', default=1, type=int,
+                        help='generative val scoring via the prefix-cache '
+                             'scorer (eval/prefix.py: one shared-context '
+                             'prefill per slate + thin answer-rows passes; '
+                             'exact to float rounding, 2.59 -> 9.44 '
+                             'dialogs/s/chip). 0 = always use the flat '
+                             'full-forward path')
+    parser.add_argument('-prefix_group', default=16, type=int,
+                        help='slates per prefix-scorer dispatch group '
+                             '(scripts/bench_prefix_ab.py sweeps this)')
     parser.add_argument('-auto_resume', action='store_true',
                         help='preemption-safe restart (train + '
                              'dense_finetune): if this '

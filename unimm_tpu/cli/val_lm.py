@@ -40,7 +40,9 @@ def main(argv=None, mode: str = "ll_sum"):
     metrics = evaluator.evaluate_split(
         model_params, cfg, loader, mode=mode,
         chunk_size=params["eval_chunk"], dtype=common.compute_dtype(params),
-        ranks_out=ranks, mesh=mesh)
+        ranks_out=ranks, mesh=mesh,
+        gen_prefix=bool(params["gen_prefix"]),
+        prefix_group=params["prefix_group"])
     evaluator.dump_ranks(ranks, (params["save_name"] or "val_lm")
                          + "_predictions.txt")
     common.print_metrics(metrics)

@@ -299,7 +299,8 @@ class RankingEvaluator:
 def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    chunk_size: int = 256, dtype=jnp.bfloat16,
                    ranks_out: Optional[list] = None,
-                   progress_every: int = 10, log=print, mesh=None) -> dict:
+                   progress_every: int = 10, log=print, mesh=None,
+                   gen_prefix: bool = True, prefix_group: int = 16) -> dict:
     """Run ranking eval over a val loader.
 
     mode: 'nsp' (discriminative), 'll_sum' (val_lm), 'll_mean' (val_avg_lm).
@@ -314,7 +315,8 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     need_lm = mode in ("ll_sum", "ll_mean")
     ev = RankingEvaluator(cfg, chunk_size=_fit_chunk(chunk_size, mesh),
                           dtype=dtype, need_lm=need_lm,
-                          need_nsp=not need_lm, mesh=mesh)
+                          need_nsp=not need_lm, mesh=mesh,
+                          gen_prefix=gen_prefix, prefix_group=prefix_group)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     key = "nsp_prob" if mode == "nsp" else mode
@@ -382,8 +384,9 @@ def minmax_per_slate(scores: np.ndarray) -> np.ndarray:
 def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
                       mode: str = "nsp", chunk_size: int = 256,
                       dtype=jnp.bfloat16, ranks_out: Optional[list] = None,
-                      test_split: bool = False, log=print,
-                      mesh=None) -> dict:
+                      test_split: bool = False, log=print, mesh=None,
+                      gen_prefix: bool = True,
+                      prefix_group: int = 16) -> dict:
     """Multi-checkpoint ensemble: per-model scores are min-max normalised per
     slate and summed (val.py:151-164 / evaluate.py:108-132). With
     ``test_split`` the loader yields [1, 100] slates and ranks_out records the
@@ -396,7 +399,8 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
     need_lm = mode in ("ll_sum", "ll_mean")
     ev = RankingEvaluator(cfg, chunk_size=_fit_chunk(chunk_size, mesh),
                           dtype=dtype, need_lm=need_lm,
-                          need_nsp=not need_lm, mesh=mesh)
+                          need_nsp=not need_lm, mesh=mesh,
+                          gen_prefix=gen_prefix, prefix_group=prefix_group)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     key = "nsp_prob" if mode == "nsp" else mode
