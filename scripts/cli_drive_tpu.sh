@@ -13,6 +13,13 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 export PYTHONPATH=$REPO:/root/.axon_site
 mkdir -p $W
 
+# backend init HANGS (no exception) when the axon tunnel is down (CLAUDE.md)
+# — probe with a bounded timeout instead of hanging the whole drive
+if ! timeout 90 python -c "import jax, numpy as np; x = jax.numpy.ones((128, 128)); float(np.asarray(x @ x).sum())" >/dev/null 2>&1; then
+  echo "cli_drive_tpu: TPU backend unreachable (tunnel down?) — aborting" >&2
+  exit 1
+fi
+
 python - <<PY
 import os, sys
 sys.path.insert(0, "$REPO")
