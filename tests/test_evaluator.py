@@ -244,3 +244,19 @@ def test_evaluate_split_pipelined(setup):
                              **kw)
     assert len(ranks) == sum(b["tokens"].shape[0] * b["tokens"].shape[1]
                              for b in batches)
+
+
+def test_prefix_knobs_plumb_through():
+    """-gen_prefix/-prefix_group reach the scorer: gen_prefix=False builds
+    no PrefixScorer; prefix_group sets the dispatch group size."""
+    import jax.numpy as jnp
+
+    from tests.test_model import TINY
+    from unimm_tpu.eval.evaluator import RankingEvaluator
+
+    ev = RankingEvaluator(TINY, chunk_size=8, dtype=jnp.float32,
+                          need_lm=True, need_nsp=False, gen_prefix=False)
+    assert ev._prefix is None
+    ev2 = RankingEvaluator(TINY, chunk_size=8, dtype=jnp.float32,
+                           need_lm=True, need_nsp=False, prefix_group=5)
+    assert ev2._prefix is not None and ev2._prefix.group == 5
