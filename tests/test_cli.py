@@ -75,11 +75,15 @@ def test_val_lm_cli(cli_world):
     assert os.path.exists("t_val_lm_predictions.txt")
     ranks = json.load(open("t_val_lm_predictions.txt"))
     assert len(ranks) == 3 * 10 and len(ranks[0]["ranks"]) == 20
-    # -gen_prefix 0 disables the prefix-cache scorer; fp32 metrics match
+    # -gen_prefix 0 disables the prefix-cache scorer; the two paths agree
+    # to float rounding, so assert the robust property (identical ranks)
+    # plus metric closeness rather than bitwise metric equality
     m2 = val_lm.main(_argv(cli_world, ["-val_dis", "0", "-gen_prefix", "0",
                                        "-save_name", "t_val_lm_flat"]))
+    flat_ranks = json.load(open("t_val_lm_flat_predictions.txt"))
+    assert [r["ranks"] for r in flat_ranks] == [r["ranks"] for r in ranks]
     for k in ("ndcg", "mrr", "mean"):
-        assert abs(m2[k] - metrics[k]) < 1e-6, (k, m2[k], metrics[k])
+        assert abs(m2[k] - metrics[k]) < 1e-3, (k, m2[k], metrics[k])
 
 
 def test_val_avg_lm_cli(cli_world):
@@ -283,23 +287,22 @@ def test_dense_finetune_auto_resume(cli_world):
     step1 = int(np.asarray(state1["step"]))       # 2 epochs x 6 dialogs
     assert step1 == 12
     ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_dense_ar")
-    cks = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")]
-    assert cks == ["visdial_dialog_encoder_6.ckpt"]   # epoch-boundary save
+    cks = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt"))
+    # epoch-boundary save (6) + the auto_resume final-budget save (12):
+    # without the latter an auto-relauncher would redo the tail epoch forever
+    assert cks == ["visdial_dialog_encoder_12.ckpt",
+                   "visdial_dialog_encoder_6.ckpt"], cks
     import torch
     blob = torch.load(os.path.join(ckpt_dir, cks[0]), map_location="cpu",
                       weights_only=False)
     assert "optimizer_state_dict" in blob and "scheduler_state_dict" in blob
-    ck6 = os.path.join(ckpt_dir, cks[0])
-    bytes6 = open(ck6, "rb").read()
-    state2 = dense_finetune.main(args)            # relaunch -> resumes
+    before = {f: open(os.path.join(ckpt_dir, f), "rb").read() for f in cks}
+    state2 = dense_finetune.main(args)            # relaunch of a COMPLETE run
     step2 = int(np.asarray(state2["step"]))
-    # restored step = saved iter_id (6) + another 2 epochs of 6 steps
-    assert step2 == 6 + 12, (step1, step2)
-    # the resume-point checkpoint is NOT overwritten (the relaunch's first
-    # step lands on iter_id 6); the relaunch saves at 12 instead
-    assert open(ck6, "rb").read() == bytes6
-    assert os.path.exists(os.path.join(ckpt_dir,
-                                       "visdial_dialog_encoder_12.ckpt"))
+    # idempotent: the budget is met, so the relaunch restores and does NOTHING
+    assert step2 == 12, (step1, step2)
+    for f, b in before.items():
+        assert open(os.path.join(ckpt_dir, f), "rb").read() == b, f
 
 
 def test_train_kill9_then_auto_resume(tmp_path):
@@ -387,5 +390,7 @@ def test_train_kill9_then_auto_resume(tmp_path):
     restored = int(out2.split("restored native checkpoint at step ")[1]
                    .split()[0])
     final = int(out2.split("FINAL_STEP ")[1].split()[0])
-    # 6 train dialogs / (12 seqs / 6 per image) = 3 iters per epoch
-    assert restored >= 3 and final == restored + 9, (restored, final)
+    # 6 train dialogs / (12 seqs / 6 per image) = 3 iters per epoch; the
+    # relaunch completes the ORIGINAL 3-epoch budget (9 steps total), not
+    # 3 more epochs on top of the restored step
+    assert restored >= 3 and final == 9, (restored, final)

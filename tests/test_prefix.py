@@ -193,9 +193,11 @@ def test_bench_workload_slates_are_prefix_eligible():
     routing through the prefix scorer: if slate_eligibility ever stops
     accepting it (a workload or eligibility regression), the bench would
     silently measure the ~4x slower flat path instead."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from scripts.bench_workload import make_val_batch
 
     import dataclasses

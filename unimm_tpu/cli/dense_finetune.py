@@ -141,6 +141,7 @@ def main(argv=None):
     # -start_path as the ordinary pretrained warm-start
     resume_path = (params["start_path"]
                    if params["continue"] and params["start_path"] else None)
+    auto_hit = False
     if params["auto_resume"] and resume_path is None:
         latest = C.latest_reference_ckpt(params["save_path"])
         if latest is None:
@@ -148,6 +149,7 @@ def main(argv=None):
                   "fresh start")
         else:
             resume_path = latest[0]
+            auto_hit = True
     init_params_dict = dict(params, start_path="") if resume_path else params
     model_params = common.init_model(init_params_dict, cfg)
     model_params, _ = pmesh.shard_params(model_params, mesh)
@@ -179,9 +181,39 @@ def main(argv=None):
 
     host_rng = np.random.default_rng(params["seed"])
     start_t = time.perf_counter()
-    for epoch_id, idx, batch in batch_iter(loader, params["num_epochs"]):
-        # startIterID offset exactly as the reference (:147)
-        iter_id = start_iter + idx + epoch_id * num_iter_epoch
+    # -auto_resume completes the ORIGINAL epoch budget (idempotent under an
+    # auto-relauncher); -continue keeps the reference's train-num_epochs-more
+    # semantics (dense_annotation_finetuning.py:146-147)
+    done_epochs = (start_iter // max(1, num_iter_epoch)
+                   if auto_hit and not params["overfit"] else 0)
+    if done_epochs >= params["num_epochs"]:
+        print(f"auto_resume: dense run already complete at iter {start_iter} "
+              f"({done_epochs}/{params['num_epochs']} epochs) — nothing to do")
+    def save_ckpt(it):
+        # full-state .ckpt exactly like the reference's 4-key dict
+        # (model + optimizer + scheduler + iter_id, :324-326) so dense
+        # runs resume via -continue / -auto_resume. gather_to_host is a
+        # collective — every process participates; the torch-format
+        # write is plain file IO: process 0 only (concurrent writes to
+        # one shared path would corrupt it)
+        host_state = pmesh.gather_to_host(state, mesh)
+        if rank == 0:
+            C.save_reference_ckpt(
+                os.path.join(params["save_path"],
+                             f"visdial_dialog_encoder_{it}.ckpt"),
+                host_state["params"], it,
+                opt_state=host_state["opt_state"],
+                lang_set=C.language_param_set(lang) if lang else set(),
+                lr=params["lr"], image_lr=params["image_lr"])
+
+    last_saved = start_iter
+    for epoch_id, idx, batch in batch_iter(loader, params["num_epochs"],
+                                           start_epoch=done_epochs):
+        # startIterID offset exactly as the reference (:147); under an
+        # -auto_resume hit epoch_id is ABSOLUTE (earlier epochs skipped),
+        # so the restored offset is already encoded in it
+        iter_id = (idx + epoch_id * num_iter_epoch if auto_hit
+                   else start_iter + idx + epoch_id * num_iter_epoch)
 
         # shuffle options with GT first (dense_annotation_finetuning.py:163-166)
         gt = int(batch["gt_option"][0])
@@ -261,21 +293,8 @@ def main(argv=None):
         # same label — under repeated preemption the schedule position
         # would then never advance past the resume point
         if iter_id % epoch_len == 0 and iter_id > start_iter:
-            # full-state .ckpt exactly like the reference's 4-key dict
-            # (model + optimizer + scheduler + iter_id, :324-326) so dense
-            # runs resume via -continue / -auto_resume. gather_to_host is a
-            # collective — every process participates; the torch-format
-            # write is plain file IO: process 0 only (concurrent writes to
-            # one shared path would corrupt it)
-            host_state = pmesh.gather_to_host(state, mesh)
-            if rank == 0:
-                C.save_reference_ckpt(
-                    os.path.join(params["save_path"],
-                                 f"visdial_dialog_encoder_{iter_id}.ckpt"),
-                    host_state["params"], iter_id,
-                    opt_state=host_state["opt_state"],
-                    lang_set=C.language_param_set(lang) if lang else set(),
-                    lr=params["lr"], image_lr=params["image_lr"])
+            save_ckpt(iter_id)
+            last_saved = iter_id
             if iter_id // epoch_len >= 2:
                 eval_loader = DataLoader(
                     eval_dataset, 5 if params["overfit"] else 4,
@@ -288,6 +307,13 @@ def main(argv=None):
                     mesh=mesh if mesh.size > 1 else None)
                 for name, value in mets.items():
                     print(f"{name}: {value}")
+    if params["auto_resume"] and not params["overfit"]:
+        # the final epoch's end state is never saved by the reference's
+        # epoch-boundary placement — without this an auto-relauncher would
+        # redo the tail epoch forever
+        final_iter = params["num_epochs"] * num_iter_epoch
+        if final_iter > max(last_saved, start_iter):
+            save_ckpt(final_iter)
     viz.close()
     return state
 

@@ -142,12 +142,16 @@ def read_command_line(argv=None) -> dict:
                              'dense_finetune): if this '
                              "run's save_path already holds a native "
                              'checkpoint, resume from its latest step '
-                             '(weights + AdamW moments + schedule position); '
-                             'otherwise start fresh, honoring -start_path as '
-                             'the warm-start. Requires -save_name so a '
-                             'relaunch resolves the same save_path. The '
-                             'reference has no auto-resume (SURVEY §5: '
-                             'recovery is manual -continue)')
+                             '(weights + AdamW moments + schedule position) '
+                             'and complete the ORIGINAL -num_epochs budget '
+                             '(idempotent: relaunching a finished run is a '
+                             'no-op, unlike -continue which trains '
+                             'num_epochs more); otherwise start fresh, '
+                             'honoring -start_path as the warm-start. '
+                             'Requires -save_name so a relaunch resolves '
+                             'the same save_path. The reference has no '
+                             'auto-resume (SURVEY §5: recovery is manual '
+                             '-continue)')
     parser.add_argument('-attention_impl', default='pallas_block',
                         choices=['xla', 'pallas', 'pallas_block'],
                         help='text self-attention backend: XLA bias path, '
@@ -167,6 +171,9 @@ def read_command_line(argv=None) -> dict:
                                         parsed['visdom_env']))
     assert parsed['sequences_per_image'] <= 100
     assert parsed['visdial_tot_rounds'] <= 11
+    if parsed['prefix_group'] < 1:
+        raise SystemExit('-prefix_group must be >= 1 (slates per prefix-'
+                         'scorer dispatch group)')
     if parsed['auto_resume'] and not parsed['save_name']:
         # without -save_name the save_path gets a fresh timestamp+rand suffix
         # per launch, so a relaunch could never find the previous checkpoint

@@ -200,7 +200,35 @@ def main(argv=None):
                 return True
         return False
 
-    for epoch_id in range(1, params["num_epochs"] + 1):
+    def save_checkpoint():
+        # multi-process: gather shards to host in bounded groups so the
+        # full state is never replicated on device at once. The native
+        # orbax save must run on EVERY process (its save protocol
+        # barriers across processes — a rank-0-only call deadlocks);
+        # orbax itself writes from the primary only. The torch-format
+        # ckpt is plain file IO, so only process 0 writes it.
+        host_state = pmesh.gather_to_host(state, mesh)
+        C.save_native(os.path.join(params["save_path"], "native"),
+                      host_state, iter_id)
+        if jax.process_index() == 0:
+            C.save_reference_ckpt(
+                os.path.join(params["save_path"],
+                             f"visdial_dialog_encoder_{iter_id}.ckpt"),
+                host_state["params"], iter_id,
+                opt_state=host_state["opt_state"],
+                lang_set=C.language_param_set(lang) if lang else set(),
+                lr=params["lr"], image_lr=params["image_lr"])
+
+    # -auto_resume completes the ORIGINAL epoch budget (an identical
+    # relaunch of a finished run is a no-op, so an auto-relauncher
+    # terminates); -continue keeps the reference semantics of training
+    # num_epochs MORE on top of the restored state (train.py:405-407)
+    done_epochs = (start_iter // max(1, num_iter_epoch)
+                   if auto_src and not params["overfit"] else 0)
+    if done_epochs >= params["num_epochs"]:
+        print(f"auto_resume: run already complete at step {start_iter} "
+              f"({done_epochs}/{params['num_epochs']} epochs) — nothing to do")
+    for epoch_id in range(1 + done_epochs, params["num_epochs"] + 1):
         loader.set_epoch(epoch_id)
         stop_epoch = False
         for batch in loader:
@@ -235,23 +263,7 @@ def main(argv=None):
             flat_buffer = []
 
         if epoch_id % params["save_every_epochs"] == 0:
-            # multi-process: gather shards to host in bounded groups so the
-            # full state is never replicated on device at once. The native
-            # orbax save must run on EVERY process (its save protocol
-            # barriers across processes — a rank-0-only call deadlocks);
-            # orbax itself writes from the primary only. The torch-format
-            # ckpt is plain file IO, so only process 0 writes it.
-            host_state = pmesh.gather_to_host(state, mesh)
-            C.save_native(os.path.join(params["save_path"], "native"),
-                          host_state, iter_id)
-            if jax.process_index() == 0:
-                C.save_reference_ckpt(
-                    os.path.join(params["save_path"],
-                                 f"visdial_dialog_encoder_{iter_id}.ckpt"),
-                    host_state["params"], iter_id,
-                    opt_state=host_state["opt_state"],
-                    lang_set=C.language_param_set(lang) if lang else set(),
-                    lr=params["lr"], image_lr=params["image_lr"])
+            save_checkpoint()
 
         if epoch_id % params["eval_every_epochs"] == 0:
             dataset.split = "val"
@@ -269,6 +281,12 @@ def main(argv=None):
                        else "Retrieval Val Metrics")
                 viz.line_plot(iter_id, value, key, name)
             dataset.split = "train"
+    if (params["auto_resume"] and iter_id > start_iter
+            and params["num_epochs"] % params["save_every_epochs"] != 0):
+        # the final epoch's end state was never checkpointed (saves land on
+        # save_every_epochs boundaries): without this an auto-relauncher
+        # would redo the tail epochs forever
+        save_checkpoint()
     profiler.close()
     viz.close()
     return state

@@ -171,9 +171,12 @@ class DataLoader:
                     break
 
 
-def batch_iter(loader: DataLoader, num_epochs: int):
-    """Infinite-epoch iterator (utils/data_utils.py:52-55 equivalent)."""
-    for epoch in range(num_epochs):
+def batch_iter(loader: DataLoader, num_epochs: int, start_epoch: int = 0):
+    """Epoch iterator (utils/data_utils.py:52-55 equivalent).
+
+    ``start_epoch`` skips already-completed epochs on an -auto_resume
+    relaunch without loading their batches."""
+    for epoch in range(start_epoch, num_epochs):
         loader.set_epoch(epoch)
         for idx, batch in enumerate(loader):
             yield epoch, idx, batch
