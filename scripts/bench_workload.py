@@ -17,8 +17,15 @@ context and differ only in the answer).
 import numpy as np
 
 
-def make_val_batch(rng, cfg, B=2, R=10, O=100):
+def make_val_batch(rng, cfg, B=2, R=10, O=100, ctx_range=(58, 192),
+                   ans_range=(2, 9), feat_dim=None):
+    """``ctx_range``/``ans_range``/``feat_dim`` let tiny-config consumers
+    (scripts/drive_verify.py, __graft_entry__) reuse this generator; the
+    DEFAULTS (and the per-option rng draw order) are frozen — changing them
+    changes every measured bench series."""
     L, Rg = cfg.max_seq_len, cfg.max_regions
+    if feat_dim is None:
+        feat_dim = 2048
     tokens = np.zeros((B, R, O, L), np.int32)
     segments = np.zeros((B, R, O, L), np.int32)
     labels = np.full((B, R, O, L), -1, np.int32)
@@ -26,11 +33,11 @@ def make_val_batch(rng, cfg, B=2, R=10, O=100):
     ans_len = np.zeros((B, R, O), np.int32)
     for b in range(B):
         for r in range(R):
-            lc = int(rng.integers(58, 192))
+            lc = int(rng.integers(*ctx_range))
             ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
             cs = rng.integers(0, 2, lc).astype(np.int32)
             for o in range(O):
-                a = int(rng.integers(2, 9))
+                a = int(rng.integers(*ans_range))
                 ans = rng.integers(1, cfg.vocab_size, a).astype(np.int32)
                 tokens[b, r, o, :lc] = ctx
                 segments[b, r, o, :lc] = cs
@@ -44,7 +51,7 @@ def make_val_batch(rng, cfg, B=2, R=10, O=100):
         "tokens": tokens, "segments": segments,
         "mode": np.ones((B, R, O), np.int32),
         "ctx_end": ctx_end, "ans_len": ans_len, "mlm_labels": labels,
-        "image_feat": rng.normal(size=(B, Rg, 2048)).astype(np.float32),
+        "image_feat": rng.normal(size=(B, Rg, feat_dim)).astype(np.float32),
         "image_loc": rng.normal(size=(B, Rg, 5)).astype(np.float32),
         "image_mask": np.ones((B, Rg), np.float32),
     }

@@ -96,33 +96,16 @@ from unimm_tpu.eval.evaluator import RankingEvaluator
 from unimm_tpu.data.dataset import flatten_for_forward
 from unimm_tpu.parallel import mesh as pmesh
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from bench_workload import make_val_batch  # noqa: E402  (canonical slates)
+
+
 def gen_slates(rng, B, Rn, O):
-    toks = np.zeros((B, Rn, O, L), np.int32)
-    segs = np.zeros((B, Rn, O, L), np.int32)
-    labs = np.full((B, Rn, O, L), -1, np.int32)
-    ce = np.zeros((B, Rn, O), np.int32)
-    al = np.zeros((B, Rn, O), np.int32)
-    for b in range(B):
-        for r in range(Rn):
-            lc = int(rng.integers(8, 20))
-            ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
-            cs = rng.integers(0, 2, lc).astype(np.int32)
-            for o in range(O):
-                a = int(rng.integers(2, 5))
-                ans = rng.integers(1, cfg.vocab_size, a).astype(np.int32)
-                toks[b, r, o, :lc] = ctx
-                segs[b, r, o, :lc] = cs
-                t1, t2 = lc + a, min(lc + 2 * a, L)
-                toks[b, r, o, lc:t1] = ans
-                toks[b, r, o, t1:t2] = ans[:t2 - t1]
-                labs[b, r, o, t1:t2] = ans[:t2 - t1]
-                ce[b, r, o], al[b, r, o] = t1, a
-    return {"tokens": toks, "segments": segs,
-            "mode": np.ones((B, Rn, O), np.int32),
-            "ctx_end": ce, "ans_len": al, "mlm_labels": labs,
-            "image_feat": rng.normal(size=(B, R, cfg.v_feature_size)).astype(np.float32),
-            "image_loc": rng.normal(size=(B, R, 5)).astype(np.float32),
-            "image_mask": np.ones((B, R), np.float32)}
+    return make_val_batch(rng, cfg, B, Rn, O, ctx_range=(8, 20),
+                          ans_range=(2, 5), feat_dim=cfg.v_feature_size)
+
 
 slates = gen_slates(np.random.default_rng(3), 2, 2, 5)
 for mesh in (None, pmesh.make_mesh(8, mp=2)):
