@@ -9,10 +9,12 @@ full-model graph broke the remote Mosaic/XLA compile server — "Broken
 pipe" after ~20 min. The async protocol needs no scan.)
 
 Variants:
-  full      — context prefill + answer pass (production _group_impl)
-  ctx       — context prefill alone (caches reduced to one scalar on device)
-  ans       — answer pass on precomputed caches
-  nohead    — answer pass minus the MLM label head (isolates the
+  full      — context prefill + answer pass (XLA answer path)
+  full_k    — same with the fused answer-attention kernel
+              (ops/pallas_prefix.py, attention_impl=pallas_block)
+  ans       — XLA answer pass on precomputed caches
+  ans_k     — kernel answer pass on precomputed caches
+  nohead    — XLA answer pass minus the MLM label head (isolates the
               [P,30522] online-softmax decode cost)
 
 Usage: python scripts/bench_prefix_attr.py [Lcb] [n_groups] [repeats]
@@ -96,10 +98,15 @@ def main():
     f_ans = jax.jit(sc._answer_impl)
     f_nohead = jax.jit(
         lambda p, c, r: sc._answer_impl(p, c, r, with_head=False))
+    sck = PrefixScorer(cfg.replace(attention_impl="pallas_block"),
+                       dtype=jnp.bfloat16, group=10)
+    f_ans_k = jax.jit(sck._answer_impl)
 
     variants = {
         "full": lambda i: sc._grp_fn(params, *groups[i]),
+        "full_k": lambda i: sck._grp_fn(params, *groups[i]),
         "ans": lambda i: f_ans(params, caches[i], groups[i][1]),
+        "ans_k": lambda i: f_ans_k(params, caches[i], groups[i][1]),
         "nohead": lambda i: f_nohead(params, caches[i], groups[i][1]),
     }
     res = {}

@@ -107,9 +107,11 @@ class PrefixScorer:
 
     The context prefill runs the standard encoder on ``attention_impl='xla'``:
     it is a small fraction of slate work, and per-(G, Lcb) Pallas executables
-    would each cost a remote Mosaic compile (CLAUDE.md); the answer pass is
-    plain XLA by design (its [W~16] row tiles are too thin for the fused
-    block kernels' [L, L] layout).
+    would each cost a remote Mosaic compile (CLAUDE.md). The answer pass
+    routes its per-layer attention sub-block through the fused answer
+    kernel (ops/pallas_prefix.py — rows x cached-context K/V, VMEM-resident
+    probs) when ``cfg.attention_impl == 'pallas_block'``; everything else
+    (embeddings, FFNs, co-attention text side, label head) is XLA.
 
     ``mesh``: optional jax.sharding.Mesh — both passes are dp-sharded over
     the slate/group axis (group sizes are rounded up to a dp multiple).
@@ -256,6 +258,31 @@ class PrefixScorer:
 
         nh_t, nh_b = cfg.num_attention_heads, cfg.bi_num_attention_heads
 
+        # fused answer-attention kernel (ops/pallas_prefix.py): under the
+        # production attention_impl the per-layer attention sub-block runs
+        # as one VMEM-resident Pallas pass — the XLA path materialises
+        # [G,O,H,W,Lcb+W] score/prob tensors in HBM (~3.7 ms/layer at bench
+        # shapes, ROADMAP "TPU backlog results" #3). Biases are layer-
+        # independent, so both are precomputed once here. Under a mesh the
+        # kernel is shard_mapped over dp (GSPMD has no custom-call rule).
+        use_kernel = cfg.attention_impl == "pallas_block"
+        if use_kernel:
+            from unimm_tpu.models.unimm import _kernel_mesh, _shard_map_dp
+            from unimm_tpu.ops import pallas_prefix
+
+            interp = jax.default_backend() == "cpu"
+            o_blk = pallas_prefix.pick_o_blk(O, W)
+            b_rr_k = pallas_prefix.block_rr_bias(rr_open, o_blk)
+            b_ctx_k = jnp.where(ctx_open, 0.0, neg)[:, None, :]
+            smesh = _kernel_mesh(self.mesh, G)
+
+            def _ans(xf, kc_f, vc_f, bc, brr, p_attn):
+                return pallas_prefix.fused_answer_block(
+                    xf, kc_f, vc_f, bc, brr, p_attn, num_heads=nh_t,
+                    interpret=interp)
+
+            _ans_c = _shard_map_dp(smesh, _ans, 5) if smesh else _ans
+
         def split_rows(t, nh):
             g, o, w, d = t.shape
             return t.reshape(g, o, w, nh, d // nh).transpose(0, 1, 3, 2, 4)
@@ -285,14 +312,21 @@ class PrefixScorer:
         def t_layer(lp, x, li):
             ps, po = lp["attention"]["self"], lp["attention"]["output"]
             tc = caches["t"][li].astype(dtype)              # [G, Lcb, D]
-            q = split_rows(vilbert.linear(ps["query"], x), nh_t)
-            kr = split_rows(vilbert.linear(ps["key"], x), nh_t)
-            vr = split_rows(vilbert.linear(ps["value"], x), nh_t)
-            kc = split_ctx(vilbert.linear(ps["key"], tc), nh_t)
-            vc = split_ctx(vilbert.linear(ps["value"], tc), nh_t)
-            ctx = merge_rows(rows_attention(q, kr, vr, kc, vc, b_rr))
-            h = vilbert.linear(po["dense"], ctx)
-            h = vilbert.layer_norm(po["LayerNorm"], h + x)
+            if use_kernel:
+                h = _ans_c(x.reshape(G, O * W, -1),
+                           vilbert.linear(ps["key"], tc),
+                           vilbert.linear(ps["value"], tc),
+                           b_ctx_k, b_rr_k,
+                           lp["attention"]).reshape(G, O, W, -1)
+            else:
+                q = split_rows(vilbert.linear(ps["query"], x), nh_t)
+                kr = split_rows(vilbert.linear(ps["key"], x), nh_t)
+                vr = split_rows(vilbert.linear(ps["value"], x), nh_t)
+                kc = split_ctx(vilbert.linear(ps["key"], tc), nh_t)
+                vc = split_ctx(vilbert.linear(ps["value"], tc), nh_t)
+                ctx = merge_rows(rows_attention(q, kr, vr, kc, vc, b_rr))
+                h = vilbert.linear(po["dense"], ctx)
+                h = vilbert.layer_norm(po["LayerNorm"], h + x)
             return vilbert.ffn_block(lp["intermediate"], lp["output"], h,
                                      act=cfg.hidden_act, hidden_drop=0.0,
                                      train=False, rng=rng0)
