@@ -91,3 +91,37 @@ def test_metrics_logger(tmp_path):
     off = MetricsLogger(None)
     off.line_plot(1, 1.0, "x", "y")
     off.close()
+
+
+def test_metrics_logger_save_env(tmp_path):
+    """visualize.py:67-100 parity: named text (overwrite), histogram,
+    and viz.save() env persistence — the CSV-logger analogs."""
+    import json
+    from unimm_tpu.utils.logging import MetricsLogger
+    log = MetricsLogger(str(tmp_path / "logs"))
+    log.line_plot(1, 0.5, "loss", "lm loss")
+    log.show_text("first", "status")
+    log.show_text("second", "status")          # named window: replaced
+    log.hist_plot([1.0, 2.0, 3.0], "grad norm")
+    log.save()
+    log.close()
+    d = tmp_path / "logs"
+    assert open(d / "text_status.txt").read().strip() == "second"
+    assert "1.0,2.0,3.0" in open(d / "hist_grad_norm.csv").read().replace(
+        "\r", "")
+    env = json.load(open(d / "env.json"))
+    assert env["plots"]["loss.csv"]["rows"] == 1
+    # disabled logger: all new methods are no-ops
+    off = MetricsLogger(None)
+    off.show_text("x", "k")
+    off.hist_plot([1], "k")
+    off.save()
+
+
+def test_attention_impl_default_unified():
+    """Library default == CLI default (VERDICT r3 #9): a bare VilbertConfig
+    and the options parser agree on the production attention path."""
+    from unimm_tpu.cli import options
+    from unimm_tpu.config import VilbertConfig
+    cli_default = options.read_command_line([])["attention_impl"]
+    assert VilbertConfig().attention_impl == cli_default == "pallas_block"

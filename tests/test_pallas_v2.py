@@ -19,6 +19,7 @@ from unimm_tpu.ops import pallas_attention_v2 as v2
 import dataclasses
 
 TINY = VilbertConfig(
+    attention_impl="xla",  # these tests exercise/are the XLA oracle path
     vocab_size=100, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
     intermediate_size=64, max_position_embeddings=64,
     v_feature_size=16, v_target_size=11, v_hidden_size=24,

@@ -37,7 +37,8 @@ def setup_jax(params: dict):
 def build_config(params: dict) -> VilbertConfig:
     cfg = VilbertConfig.from_json_file(params["model_config"])
     return cfg.replace(max_seq_len=params["max_seq_len"],
-                       attention_impl=params.get("attention_impl", "xla"),
+                       attention_impl=params.get("attention_impl",
+                                                 "pallas_block"),
                        remat=bool(params.get("remat", 0)))
 
 

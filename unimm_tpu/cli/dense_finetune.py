@@ -205,6 +205,7 @@ def main(argv=None):
                 opt_state=host_state["opt_state"],
                 lang_set=C.language_param_set(lang) if lang else set(),
                 lr=params["lr"], image_lr=params["image_lr"])
+            viz.save()  # persist the plot env at ckpt time (dense:329)
 
     last_saved = start_iter
     for epoch_id, idx, batch in batch_iter(loader, params["num_epochs"],

@@ -218,6 +218,7 @@ def main(argv=None):
                 opt_state=host_state["opt_state"],
                 lang_set=C.language_param_set(lang) if lang else set(),
                 lr=params["lr"], image_lr=params["image_lr"])
+            viz.save()  # persist the plot env at ckpt time (train.py:506)
 
     # -auto_resume completes the ORIGINAL epoch budget (an identical
     # relaunch of a finished run is a no-op, so an auto-relauncher

@@ -65,7 +65,10 @@ class VilbertConfig:
     #                    block kernel (custom VJP, in-kernel prob dropout —
     #                    unimm.encode use_block_train), falling back to XLA
     #                    only under CPU interpret with attention dropout > 0
-    attention_impl: str = "xla"
+    # Default == the CLI default (cli/options.py -attention_impl): library
+    # and CLI users get the same production path. On CPU the kernels run in
+    # interpret mode (slow but exact) — pass "xla" for CPU-bound work.
+    attention_impl: str = "pallas_block"
     # under "pallas_block": also route text-stream FFNs (incl. the co-attn
     # layers' t-FFNs) through the fused FFN kernel. Ties XLA in isolation
     # but measured on the end-to-end evaluator (scripts/bench_e2e_ab.py)

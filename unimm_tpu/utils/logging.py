@@ -44,6 +44,47 @@ class MetricsLogger:
         with open(os.path.join(self.dir, "notes.txt"), "a") as f:
             f.write(text + "\n")
 
+    def show_text(self, text: str, key: str):
+        """Named text window (visualize.py:67-75): the keyed file is
+        OVERWRITTEN on update, like viz.text(win=key) replaces the window."""
+        if not self.enable:
+            return
+        fname = "text_" + key.replace(" ", "_").replace("/", "_") + ".txt"
+        with open(os.path.join(self.dir, fname), "w") as f:
+            f.write(text + "\n")
+
+    def hist_plot(self, x, key: str):
+        """Histogram window (visualize.py:88-100): appends the raw values —
+        any dashboard can re-bin; visdom's binning is display-side too."""
+        if not self.enable:
+            return
+        import numpy as np
+        fname = "hist_" + key.replace(" ", "_").replace("/", "_") + ".csv"
+        with open(os.path.join(self.dir, fname), "a", newline="") as f:
+            csv.writer(f).writerow(np.asarray(x).reshape(-1).tolist())
+
+    def save(self):
+        """Persist the logger state (visualize.py:80-86 ``viz.save([env])``).
+
+        CSV rows are already flushed per write; this records the env-level
+        manifest visdom would serialise — which plots exist and their row
+        counts — so a dashboard can reload the run like a saved visdom env.
+        Called by the CLIs at the reference's viz.save() sites
+        (train.py:506, dense_annotation_finetuning.py:329)."""
+        if not self.enable:
+            return
+        import json
+        plots = {}
+        for name in sorted(os.listdir(self.dir)):
+            if not name.endswith(".csv"):
+                continue
+            path = os.path.join(self.dir, name)
+            with open(path) as f:
+                rows = sum(1 for _ in f)
+            plots[name] = {"rows": max(0, rows - 1)}
+        with open(os.path.join(self.dir, "env.json"), "w") as f:
+            json.dump({"saved_at": time.time(), "plots": plots}, f, indent=2)
+
     def close(self):
         for f in self._files.values():
             f.close()
