@@ -1,0 +1,64 @@
+"""Worker for the 2-process data-sharded eval test (spawned by
+test_multihost.py::test_eval_tail_padding_two_process).
+
+A 5-slate val split scored with a process-sharded DataLoader at global batch
+2 (batches 2, 2, 1): the 1-row tail is NOT divisible by the 2 processes —
+the loader pads it by duplicating the last row and flags the duplicate via
+the per-batch ``valid`` mask. The worker proves (a) every dialog reaches a
+process exactly once as a valid row, (b) evaluate_split masks the padding
+out of metrics/ranks, and (c) both processes return identical process-merged
+global metrics. The parent test compares them against a single-process run
+over the whole split (the reference scores every val dialog unconditionally,
+/root/reference/val_lm.py:40-190).
+"""
+
+import os
+import sys
+
+rank = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=rank)
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests._slate_fixture import SlateDataset, collate, make_split  # noqa: E402
+from __graft_entry__ import dryrun_config  # noqa: E402
+from unimm_tpu.data.loader import DataLoader  # noqa: E402
+from unimm_tpu.eval.evaluator import evaluate_split  # noqa: E402
+from unimm_tpu.models import vilbert  # noqa: E402
+
+assert jax.process_index() == rank
+
+cfg = dryrun_config()
+N, R, O = 5, 2, 4
+ds = SlateDataset(make_split(cfg, N, R, O), N)
+
+params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+
+loader = DataLoader(ds, 2, shuffle=False, num_workers=2,
+                    collate_fn=collate,
+                    process_index=rank, process_count=nproc)
+assert len(loader) == 3  # no batch is dropped any more
+ranks_out = []
+merged = evaluate_split(params, cfg, loader, mode="ll_sum",
+                        dtype=jnp.float32, chunk_size=4,
+                        ranks_out=ranks_out, progress_every=0,
+                        process_merge=True)
+print("MERGED", rank,
+      {k: round(float(v), 6) for k, v in sorted(merged.items())}, flush=True)
+print("SERVED", rank, sorted(set(ds.served)), flush=True)
+print("RANKSN", rank, len(ranks_out), flush=True)
+print("EVALW_OK", rank, flush=True)

@@ -244,6 +244,15 @@ def test_evaluate_split_pipelined(setup):
                              **kw)
     assert len(ranks) == sum(b["tokens"].shape[0] * b["tokens"].shape[1]
                              for b in batches)
+    # deeper pipelining (-eval_pipeline): identical metrics and rank order
+    # at any in-flight depth, including depth > number of batches
+    for depth in (2, 5):
+        ranks_d = []
+        md = evaluator.evaluate_split(params, TINY, list(batches),
+                                      ranks_out=ranks_d,
+                                      pipeline_depth=depth, **kw)
+        assert md == m1, depth
+        assert ranks_d == ranks, depth
 
 
 def test_prefix_knobs_plumb_through():

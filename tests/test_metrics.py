@@ -49,6 +49,18 @@ def test_sparse_metrics():
     np.testing.assert_allclose(got["mean_round_3"],
                                np.mean(gt_rank[:, 2].astype(float)))
 
+    # zero-row observations (fully-masked loader tail padding) are no-ops
+    # for both accumulators — the data-sharded eval feeds them
+    m2 = metrics.SparseGTMetrics()
+    m2.observe(scores, gt)
+    m2.observe(scores[:0], gt[:0])
+    assert m2.retrieve() == got
+    nd = metrics.NDCG()
+    nd.observe(scores[:, 0], rng.random((B, O)).astype(np.float32))
+    before = nd.retrieve(reset=False)
+    nd.observe(scores[:0, 0], np.zeros((0, O), np.float32))
+    assert nd.retrieve() == before
+
 
 def torch_ndcg(scores: torch.Tensor, relevance: torch.Tensor):
     """Literal oracle of utils/visdial_metrics.py:122-177."""

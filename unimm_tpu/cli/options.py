@@ -137,6 +137,19 @@ def read_command_line(argv=None) -> dict:
     parser.add_argument('-prefix_group', default=16, type=int,
                         help='slates per prefix-scorer dispatch group '
                              '(scripts/bench_prefix_ab.py sweeps this)')
+    parser.add_argument('-eval_pipeline', default=1, type=int,
+                        help='val batches kept in flight by the serving '
+                             'loop (evaluate_split pipeline_depth); '
+                             'scripts/bench_pipeline_ab.py sweeps this')
+    parser.add_argument('-eval_data_sharded', default=0, type=int,
+                        help='multi-process eval mode: 1 = each process '
+                             'scores a DISJOINT shard of the val split on '
+                             'its local devices and the metrics are '
+                             'allgather-merged (throughput scales with '
+                             'hosts; non-divisible tails are padded+masked '
+                             'so every dialog is scored). 0 (default) = '
+                             'every process iterates the full split with '
+                             'batches sharded over the global mesh')
     parser.add_argument('-auto_resume', action='store_true',
                         help='preemption-safe restart (train + '
                              'dense_finetune): if this '

@@ -170,11 +170,21 @@ def main(argv=None):
     # their sequences by attended extent and run the accumulation
     # micro-steps at per-morsel quarter-length buckets (655 -> 531 ms per
     # effective 240-batch on v5e, scripts/bench_train.py '@80x3s').
-    # Single-process only: morsel bucket lengths are data-dependent and
-    # every process would need the same global shapes.
+    # Multi-process: each process sorts its local rows; a tiny host
+    # allgather aligns the per-morsel bucket lengths (max over processes)
+    # and the group label count feeding lm_norm (sum), so every process
+    # traces the same shapes and the summed gradient equals the unsorted
+    # global grouping's (tests/_multihost_morsel_worker.py proves it
+    # step-for-step against the unsorted run).
     k_buckets = (params["batch_multiply"]
-                 if params["length_buckets"] and nproc == 1 and
+                 if params["length_buckets"] and
                  params["batch_multiply"] > 1 else 1)
+    morsel_sync = None
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        def morsel_sync(stats):
+            return np.asarray(multihost_utils.process_allgather(stats))
     bucket_div = (params["length_buckets"]
                   if params["length_buckets"] >= 2 else 4)
     flat_buffer = []
@@ -247,7 +257,8 @@ def main(argv=None):
                     continue
                 morsels = length_bucket_morsels(flat_buffer,
                                                 cfg.max_seq_len, k_buckets,
-                                                div=bucket_div)
+                                                div=bucket_div,
+                                                sync=morsel_sync)
                 flat_buffer = []
             else:
                 morsels = [flat]
@@ -260,7 +271,8 @@ def main(argv=None):
             # loader batch is ever silently dropped
             run_morsels(length_bucket_morsels(flat_buffer, cfg.max_seq_len,
                                               len(flat_buffer),
-                                              div=bucket_div))
+                                              div=bucket_div,
+                                              sync=morsel_sync))
             flat_buffer = []
 
         if epoch_id % params["save_every_epochs"] == 0:
@@ -275,7 +287,8 @@ def main(argv=None):
                 state["params"], cfg, eval_loader, mode="nsp",
                 chunk_size=params["eval_chunk"],
                 dtype=common.compute_dtype(params),
-                mesh=mesh if mesh.size > 1 else None)
+                mesh=mesh if mesh.size > 1 else None,
+                pipeline_depth=params["eval_pipeline"])
             for name, value in all_metrics.items():
                 print(f"{name}: {value}")
                 key = ("Retrieval Round Val Metrics" if "round" in name

@@ -29,11 +29,20 @@ def main(argv=None, mode: str = "ll_sum"):
     dataset = VisdialDataset(params, tokenizer, reader)
     dataset.split = "val"
     eval_batch_size = 5 if params["overfit"] else 2
+    import jax
+    nproc, rank = jax.process_count(), jax.process_index()
+    # -eval_data_sharded: each process scores a disjoint split shard on its
+    # LOCAL devices; metrics are allgather-merged at the end (throughput
+    # scales with hosts — vs the default replicated-loader mode where every
+    # process iterates the whole split over one global mesh)
+    sharded = nproc > 1 and bool(params["eval_data_sharded"])
     loader = DataLoader(dataset, eval_batch_size, shuffle=False,
-                        num_workers=params["num_workers"])
+                        num_workers=params["num_workers"],
+                        process_index=rank if sharded else 0,
+                        process_count=nproc if sharded else 1)
     print("len_dataloader_eval:", len(loader))
 
-    mesh = _mesh(params)
+    mesh = None if sharded else _mesh(params)
     model_params = common.place_params_for_eval(
         common.init_model(params, cfg), mesh)
     ranks = []
@@ -42,9 +51,12 @@ def main(argv=None, mode: str = "ll_sum"):
         chunk_size=params["eval_chunk"], dtype=common.compute_dtype(params),
         ranks_out=ranks, mesh=mesh,
         gen_prefix=bool(params["gen_prefix"]),
-        prefix_group=params["prefix_group"])
-    evaluator.dump_ranks(ranks, (params["save_name"] or "val_lm")
-                         + "_predictions.txt")
+        prefix_group=params["prefix_group"], process_merge=sharded,
+        pipeline_depth=params["eval_pipeline"])
+    name = params["save_name"] or "val_lm"
+    evaluator.dump_ranks(
+        ranks, name + (f"_predictions.rank{rank}.txt" if sharded
+                       else "_predictions.txt"), all_processes=sharded)
     common.print_metrics(metrics)
     return metrics
 

@@ -25,6 +25,11 @@ class VilbertConfig:
     hidden_act: str = "gelu"
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    # the fused NSP-pooling dropout is HARDCODED 0.1 in the reference
+    # (BertPreTrainingHeads, vilbert_dialog.py:1056) independent of
+    # hidden_dropout_prob; surfaced as a field so determinism tests can
+    # zero every dropout site (tests/_multihost_morsel_worker.py)
+    head_dropout_prob: float = 0.1
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     initializer_range: float = 0.02

@@ -456,7 +456,7 @@ def flatten_for_forward(batch: dict, sample_size: Optional[int] = None,
 
 
 def length_bucket_morsels(flats, max_len: int, k: int,
-                          div: int = 4):
+                          div: int = 4, sync=None):
     """Regroup ``k`` flat training batches into ``k`` length-bucketed
     accumulation morsels.
 
@@ -477,12 +477,28 @@ def length_bucket_morsels(flats, max_len: int, k: int,
       a fresh jit trace + remote Pallas compile per shape. Expanded rows
       are static [m, ...] and carry a similar number of bytes at training
       subsample rates.
-    * every morsel gets ``lm_norm`` = (total label-token count of the
-      whole group) / k. Extent sorting correlates a morsel's label count
-      with its length, so normalising each micro-loss by its OWN count
-      would systematically up-weight short-dialog tokens; the group-level
-      normaliser restores the unsorted gradient's expectation
-      (unimm.lm_loss_and_heads consumes it).
+    * every morsel gets GROUP-level loss normalisers: ``lm_norm`` = (total
+      label-token count of the whole group) / k, ``img_norm`` = (group
+      masked-region count) / k, ``nsp_norm_counts`` = (group NSP class
+      counts) / k. Extent sorting correlates a morsel's label/region
+      counts with its length, so normalising each micro-loss by its OWN
+      denominators would systematically up-weight short-dialog rows; the
+      group-level normalisers make the summed micro-gradients EXACTLY
+      equal to the same rows accumulated in any other grouping
+      (unimm.forward_train / lm_loss_and_heads consume them;
+      tests/_multihost_morsel_worker.py asserts the equality end-to-end
+      through an AdamW update).
+
+    Multi-process training (``sync``): each process sorts its OWN local
+    rows, but morsel j's bucket length and the group normalisers must be
+    identical on every process (the micro-step's global batch is the
+    concatenation of the processes' morsel-j rows, and jit traces one
+    shape). ``sync(stats)`` must allgather the small per-process float64
+    stats vector and return the [nproc, k+4] stack (cli/train.py passes
+    multihost_utils.process_allgather); the morsel-j bucket then covers
+    the MAX extent over processes and the normalisers sum the counts —
+    the summed gradient equals the unsorted global grouping's, exactly
+    as in the single-process case.
     """
     assert len(flats) == k and k >= 1
     assert "img_index" not in flats[0], \
@@ -496,16 +512,39 @@ def length_bucket_morsels(flats, max_len: int, k: int,
                                  cat["ans_len"], max_len,
                                  cat.get("mlm_labels"))
     order = np.argsort(ext, kind="stable")
-    lm_norm = None
-    if "lm_weight" in cat:
-        lm_norm = np.float32(
-            max(float((cat["lm_weight"] != 0).sum()), 1.0) / k)
+    labels = (float((cat["lm_weight"] != 0).sum())
+              if "lm_weight" in cat else -1.0)
+    img_sel = (float((cat["image_label"] == 1).sum())
+               if "image_label" in cat else -1.0)
+    if "next_sentence_label" in cat:
+        nsp_counts = np.array(
+            [float((cat["next_sentence_label"] == c).sum()) for c in (0, 1)],
+            np.float64)
+    else:
+        nsp_counts = np.array([-1.0, -1.0])
+    morsel_ext = np.array(
+        [ext[order[j * m:(j + 1) * m] if j < k - 1
+             else order[(k - 1) * m:]].max(initial=1) for j in range(k)],
+        np.float64)
+    if sync is not None:
+        g = np.asarray(sync(np.concatenate(
+            [morsel_ext, [labels, img_sel], nsp_counts])))
+        assert g.ndim == 2 and g.shape[1] == k + 4, g.shape
+        morsel_ext = g[:, :k].max(axis=0)
+        labels = float(g[:, k].sum()) if labels >= 0 else -1.0
+        img_sel = float(g[:, k + 1].sum()) if img_sel >= 0 else -1.0
+        if nsp_counts[0] >= 0:
+            nsp_counts = g[:, k + 2:k + 4].sum(axis=0)
+    lm_norm = (np.float32(max(labels, 1.0) / k) if labels >= 0 else None)
+    img_norm = (np.float32(img_sel / k) if img_sel >= 0 else None)
+    nsp_norm = (np.asarray(nsp_counts / k, np.float32)
+                if nsp_counts[0] >= 0 else None)
 
     morsels = []
     for j in range(k):
         idx = order[j * m:(j + 1) * m] if j < k - 1 else order[(k - 1) * m:]
         morsel = {key: v[idx] for key, v in cat.items()}
-        Lb = _masks.quarter_bucket(int(ext[idx].max()), max_len,
+        Lb = _masks.quarter_bucket(int(morsel_ext[j]), max_len,
                                    div=div)
         if Lb < max_len:
             # per-token arrays only — 'sep_indices' is a short list of SEP
@@ -516,5 +555,9 @@ def length_bucket_morsels(flats, max_len: int, k: int,
                     morsel[key] = np.ascontiguousarray(morsel[key][:, :Lb])
         if lm_norm is not None:
             morsel["lm_norm"] = lm_norm
+        if img_norm is not None:
+            morsel["img_norm"] = img_norm
+        if nsp_norm is not None:
+            morsel["nsp_norm_counts"] = nsp_norm
         morsels.append(morsel)
     return morsels

@@ -31,13 +31,16 @@ class DataLoader:
         jax.make_array_from_process_local_data assembles into the global
         batch (parallel/mesh.shard_batch).
 
-        NOTE (multi-process + drop_last=False): a kept tail batch's global
-        size is (tail // process_count) * process_count, which need not
-        divide the mesh dp axis — mesh.shard_batch fails loudly on such a
-        batch rather than silently diverging. Multi-process loaders that
-        feed shard_batch directly should use drop_last=True (the CLIs do)
-        or a dp-divisible batch size; the sharded evaluator is safe (it
-        re-chunks into fixed padded chunks)."""
+        Multi-process + drop_last=False: a global batch whose size does not
+        divide the process count is PADDED up to the next multiple by
+        repeating its last row, so every row of the dataset reaches some
+        process (the reference scores every val dialog unconditionally,
+        val_lm.py:40-190). Padded batches carry a per-process boolean
+        ``valid`` key marking the duplicated rows — metric consumers mask
+        them out (eval/evaluator.evaluate_split); the padded global size
+        still need not divide a mesh dp axis, where mesh.shard_batch fails
+        loudly rather than silently diverging (training CLIs therefore keep
+        drop_last=True)."""
         from unimm_tpu.data.dataset import collate
         self.dataset = dataset
         self.batch_size = batch_size
@@ -52,21 +55,13 @@ class DataLoader:
                                                     process_count)
         self.process_index = process_index
         self.process_count = process_count
-        self.dropped_rows = 0   # rows lost to process-sharding, per epoch
+        self.dropped_rows = 0   # always 0 since the r4 tail-padding fix
 
     def __len__(self):
         n = len(self.dataset)
         full = n // self.batch_size
         tail = n % self.batch_size
-        m = full + (1 if (tail and not self.drop_last) else 0)
-        if self.process_count > 1:
-            # __iter__ drops every batch smaller than the process count
-            # (it cannot contribute a row from each process)
-            if self.batch_size < self.process_count:
-                return 0
-            if tail and not self.drop_last and tail < self.process_count:
-                m -= 1
-        return m
+        return full + (1 if (tail and not self.drop_last) else 0)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -83,32 +78,34 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
         self.dropped_rows = 0
+        valids: Optional[list] = None
         if self.process_count > 1:
             # per-process shard of each global batch: contiguous slice in
             # process order (= the rows this process's addressable devices
-            # own under a dp NamedSharding built from jax.devices() order);
-            # trim so every process contributes the same count. Rows lost to
-            # the trim (tail % process_count) or to skipped sub-process-count
-            # tail batches are COUNTED and warned about — for a val split a
-            # dropped row is a dialog that is never scored.
-            kept = [b for b in batches if len(b) >= self.process_count]
-            self.dropped_rows = (
-                sum(len(b) for b in batches) - sum(
-                    (len(b) // self.process_count) * self.process_count
-                    for b in kept))
-            if self.dropped_rows and self.process_index == 0:
-                import warnings
-                warnings.warn(
-                    f"DataLoader(process_count={self.process_count}): "
-                    f"{self.dropped_rows} tail row(s) dropped this epoch "
-                    f"(global batch not divisible by the process count); "
-                    f"use drop_last=True or a divisible batch size if every "
-                    f"row must be consumed", stacklevel=2)
+            # own under a dp NamedSharding built from jax.devices() order).
+            # Non-divisible batches are PADDED to the next multiple of the
+            # process count by repeating the last row, so every dataset row
+            # reaches a process; the duplicated rows are flagged in a
+            # per-batch ``valid`` mask (None when no padding — the padding
+            # decision depends only on the GLOBAL batch size, so every
+            # process agrees on whether the key is present).
+            nproc = self.process_count
+            valids = []
 
             def shard(b):
-                k = len(b) // self.process_count
-                return b[self.process_index * k:(self.process_index + 1) * k]
-            batches = [shard(b) for b in kept]
+                pad = -len(b) % nproc
+                v = None
+                if pad:
+                    b = np.concatenate([b, np.repeat(b[-1:], pad)])
+                    v = np.ones(len(b), bool)
+                    v[-pad:] = False
+                k = len(b) // nproc
+                sl = slice(self.process_index * k,
+                           (self.process_index + 1) * k)
+                valids.append(None if v is None else v[sl])
+                return b[sl]
+
+            batches = [shard(b) for b in batches]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -137,16 +134,19 @@ class DataLoader:
                     while (bi < len(batches) or in_flight) and not stop.is_set():
                         while bi < len(batches) and len(in_flight) < window:
                             in_flight.append(
-                                [pool.submit(self.dataset.__getitem__, int(i))
-                                 for i in batches[bi]])
+                                (bi,
+                                 [pool.submit(self.dataset.__getitem__,
+                                              int(i)) for i in batches[bi]]))
                             bi += 1
-                        fs = in_flight.pop(0)
-                        if not put_or_abandon(
-                                self.collate([f.result() for f in fs])):
+                        idx, fs = in_flight.pop(0)
+                        item = self.collate([f.result() for f in fs])
+                        if valids is not None and valids[idx] is not None:
+                            item["valid"] = valids[idx]
+                        if not put_or_abandon(item):
                             break
                 except Exception as e:  # surfaced to the consumer
                     put_or_abandon(e)
-                for fs in in_flight:
+                for _, fs in in_flight:
                     for f in fs:
                         f.cancel()
             put_or_abandon(None)

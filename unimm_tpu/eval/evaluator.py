@@ -300,15 +300,30 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    chunk_size: int = 256, dtype=jnp.bfloat16,
                    ranks_out: Optional[list] = None,
                    progress_every: int = 10, log=print, mesh=None,
-                   gen_prefix: bool = True, prefix_group: int = 16) -> dict:
+                   gen_prefix: bool = True, prefix_group: int = 16,
+                   process_merge: bool = False,
+                   pipeline_depth: int = 1) -> dict:
     """Run ranking eval over a val loader.
 
     mode: 'nsp' (discriminative), 'll_sum' (val_lm), 'll_mean' (val_avg_lm).
     Returns the metric dict (R@k/mean/MRR (+rounds) + NDCG).
 
-    One batch is kept in flight: batch i+1 is staged and dispatched before
-    batch i's scores are fetched, so host staging + the per-dispatch relay
-    latency overlap device compute (jax dispatch is async).
+    ``pipeline_depth`` batches are kept in flight: batch i+depth is staged
+    and dispatched before batch i's scores are fetched, so host staging +
+    the per-dispatch relay latency overlap device compute (jax dispatch is
+    async). Depth 1 hides one batch of staging; deeper keeps the device fed
+    across consecutive host-side consume() stalls at the cost of holding
+    depth batches' score buffers on device.
+
+    Batches may carry a boolean ``valid`` row mask (the process-sharded
+    DataLoader pads non-divisible tails by duplicating the last row):
+    invalid rows are scored (fixed shapes) but excluded from metrics and
+    ``ranks_out``. With ``process_merge`` (data-sharded multi-host eval:
+    each process's loader holds a disjoint shard) the per-process metric
+    statistics are allgathered and summed at the end, so every process
+    returns the global metrics — identical to one process scoring the whole
+    split. This is distinct from the replicated-loader multi-host mode
+    (``mesh`` spanning processes, every process iterating the same data).
     """
     from unimm_tpu.data.dataset import flatten_for_forward
 
@@ -331,10 +346,16 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     def consume(batch_idx, batch, finalize):
         B, R, O = batch["tokens"].shape[:3]
         out = finalize()[key].reshape(B, R, O)
+        # rows duplicated by the loader's tail padding: scored (fixed
+        # shapes) but never observed
+        valid = (np.asarray(batch["valid"]) if "valid" in batch
+                 else np.ones(B, bool))
 
         if ranks_out is not None:
             ranks = np.asarray(M.scores_to_ranks(out))
             for b in range(B):
+                if not valid[b]:
+                    continue
                 for r in range(R):
                     ranks_out.append({
                         "image_id": int(batch["image_id"][b]),
@@ -342,10 +363,11 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                         "ranks": [int(x) for x in ranks[b, r]],
                     })
 
-        sparse.observe(out, batch["gt_option_inds"])
+        sparse.observe(out[valid], np.asarray(batch["gt_option_inds"])[valid])
         rid = np.asarray(batch["round_id"]).reshape(B)
         dense_scores = out[np.arange(B), rid - 1]
-        ndcg.observe(dense_scores, batch["gt_relevance"])
+        ndcg.observe(dense_scores[valid],
+                     np.asarray(batch["gt_relevance"])[valid])
         if progress_every and batch_idx % progress_every == 0:
             cur = {**sparse.retrieve(reset=False),
                    **ndcg.retrieve(reset=False)}
@@ -354,14 +376,17 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                 f"r@10 {cur['r@10']:.4f} mean {cur['mean']:.4f} "
                 f"mrr {cur['mrr']:.4f} ndcg {cur['ndcg']:.4f}")
 
-    pending = None
+    assert pipeline_depth >= 1, pipeline_depth
+    pending: List[tuple] = []
     for batch_idx, batch in enumerate(loader, start=1):
         fin = dispatch(batch)
-        if pending is not None:
-            consume(*pending)
-        pending = (batch_idx, batch, fin)
-    if pending is not None:
-        consume(*pending)
+        pending.append((batch_idx, batch, fin))
+        if len(pending) > pipeline_depth:
+            consume(*pending.pop(0))
+    for p in pending:
+        consume(*p)
+    if process_merge and jax.process_count() > 1:
+        return M.allreduce_metrics(sparse, ndcg)
     return {**sparse.retrieve(), **ndcg.retrieve()}
 
 
@@ -454,10 +479,13 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
     return {**sparse.retrieve(), **ndcg.retrieve()}
 
 
-def dump_ranks(ranks: list, path: str):
+def dump_ranks(ranks: list, path: str, all_processes: bool = False):
     # multi-host serving: every process computes identical ranks from the
-    # replicated scores; only process 0 writes (shared-filesystem race)
-    if jax.process_count() > 1 and jax.process_index() != 0:
+    # replicated scores; only process 0 writes (shared-filesystem race).
+    # Data-sharded eval (all_processes=True) instead writes per-rank files
+    # of its disjoint shard — the caller puts the rank in ``path``.
+    if (not all_processes and jax.process_count() > 1
+            and jax.process_index() != 0):
         return
     with open(path, "w") as f:
         json.dump(ranks, f)

@@ -258,11 +258,16 @@ def forward_train(params, cfg: VilbertConfig, batch, *, rng,
         rng=r_head)
     img_loss_fn = (L.masked_img_loss_mse if cfg.predict_feature
                    else L.masked_img_loss)
+    # group-level normaliser overrides (length-bucketed accumulation
+    # morsels, data/dataset.length_bucket_morsels): absent -> per-batch
+    # denominators (reference-exact accumulation semantics)
     return {
         "lm": lm,
         "img": img_loss_fn(img_logits, batch["image_target"],
-                           batch["image_label"]),
-        "nsp": L.nsp_loss(nsp_logits, batch["next_sentence_label"], nsp_weight),
+                           batch["image_label"],
+                           norm=batch.get("img_norm")),
+        "nsp": L.nsp_loss(nsp_logits, batch["next_sentence_label"], nsp_weight,
+                          norm_counts=batch.get("nsp_norm_counts")),
     }
 
 

@@ -464,7 +464,8 @@ def pretraining_heads(params: Params, cfg: VilbertConfig, t_seq, v_seq,
         pooled = pooled_t * pooled_v
     else:
         pooled = pooled_t + pooled_v
-    pooled = dropout(pooled, 0.1, train, r)  # fixed 0.1 (vilbert_dialog.py:1056)
+    # fixed 0.1 in the reference (vilbert_dialog.py:1056), cfg-surfaced
+    pooled = dropout(pooled, cfg.head_dropout_prob, train, r)
 
     pp = pc["predictions"]
     h = linear(pp["transform"]["dense"], t_seq)
@@ -495,7 +496,8 @@ def nsp_and_img_heads(params: Params, cfg: VilbertConfig, v_seq, pooled_t,
         pooled = pooled_t * pooled_v
     else:
         pooled = pooled_t + pooled_v
-    pooled = dropout(pooled, 0.1, train, r)
+    # fixed 0.1 in the reference (vilbert_dialog.py:1056), cfg-surfaced
+    pooled = dropout(pooled, cfg.head_dropout_prob, train, r)
     nsp_logits = linear(pc["bi_seq_relationship"], pooled)
     pi = pc["imagePredictions"]
     hv = linear(pi["transform"]["dense"], v_seq)

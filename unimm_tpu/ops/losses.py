@@ -50,12 +50,18 @@ def masked_lm_ul_loss(mlm_logits, labels, lm_weight, num_tokens=None):
     return (l_sum + ul_sum) / jnp.maximum(num_tokens, 1.0)
 
 
-def nsp_loss(nsp_logits, labels, nsp_weight=None):
+def nsp_loss(nsp_logits, labels, nsp_weight=None, norm_counts=None):
     """Class-weighted NSP cross-entropy (vilbert_dialog.py:1605-1621).
 
     torch.F.cross_entropy(weight=w) semantics: per-sample nll scaled by
     w[label], mean = sum / sum(w[label]). nsp_weight is normalised by its
     first element first (:1608).
+
+    ``norm_counts`` [2]: optional per-class row counts to normalise by
+    instead of this batch's own — length-bucketed accumulation morsels pass
+    (group class counts) / k so the summed micro-gradients equal the
+    group-level grouping's regardless of how rows were re-bucketed
+    (data/dataset.length_bucket_morsels).
     """
     logits = nsp_logits.astype(jnp.float32)
     if nsp_weight is None:
@@ -66,13 +72,21 @@ def nsp_loss(nsp_logits, labels, nsp_weight=None):
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
     sample_w = w[labels]
-    return jnp.sum(nll * sample_w) / jnp.maximum(jnp.sum(sample_w), 1e-12)
+    if norm_counts is not None:
+        den = jnp.sum(jnp.asarray(norm_counts, jnp.float32) * w)
+    else:
+        den = jnp.sum(sample_w)
+    return jnp.sum(nll * sample_w) / jnp.maximum(den, 1e-12)
 
 
-def masked_img_loss(img_logits, image_target, image_label):
+def masked_img_loss(img_logits, image_target, image_label, norm=None):
     """Masked-region KLD loss (vilbert_dialog.py:1569-1574):
     KLDiv(log_softmax(logits), cls_prob target) summed over image_label==1
-    rows, divided by the number of such rows."""
+    rows, divided by the number of such rows.
+
+    ``norm``: optional selected-region count to normalise by instead of
+    this batch's own (group count / k from accumulation morsels — see
+    nsp_loss)."""
     logits = img_logits.astype(jnp.float32)
     target = image_target.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
@@ -81,21 +95,26 @@ def masked_img_loss(img_logits, image_target, image_label):
                                           - log_probs), 0.0)
     sel = (image_label == 1).astype(jnp.float32)
     num = jnp.sum(kld * sel[..., None])
-    den = jnp.maximum(jnp.sum(sel), 1.0)
+    den = jnp.maximum(jnp.sum(sel) if norm is None else norm, 1.0)
     return num / den
 
 
-def masked_img_loss_mse(img_logits, image_target, image_label):
+def masked_img_loss_mse(img_logits, image_target, image_label, norm=None):
     """predict_feature=True image loss (vilbert_dialog.py:1562-1567):
     elementwise MSE over masked regions, divided by the number of selected
-    ELEMENTS (count x feature dim, per the reference's expand_as)."""
+    ELEMENTS (count x feature dim, per the reference's expand_as).
+    ``norm``: optional selected-region COUNT normaliser override (scaled by
+    the feature dim here, matching the batch-local den)."""
     pred = img_logits.astype(jnp.float32)
     target = image_target.astype(jnp.float32)
     mse = jnp.square(pred - target)
     sel = (image_label == 1).astype(jnp.float32)[..., None]
     num = jnp.sum(mse * sel)
-    den = jnp.maximum(jnp.sum(sel * jnp.ones_like(mse)), 1.0)
-    return num / den
+    if norm is None:
+        den = jnp.sum(sel * jnp.ones_like(mse))
+    else:
+        den = jnp.asarray(norm, jnp.float32) * pred.shape[-1]
+    return num / jnp.maximum(den, 1.0)
 
 
 def _online_xent_impl(hidden, decoder_weight, decoder_bias, labels,

@@ -75,31 +75,42 @@ class SparseGTMetrics:
         self.reset()
 
     def observe(self, predicted_scores, target_inds):
-        """predicted_scores [B, R, O]; target_inds [B, R]."""
+        """predicted_scores [B, R, O]; target_inds [B, R]. Empty batches
+        (every row masked out as loader tail padding) are a no-op."""
+        if np.asarray(predicted_scores).shape[0] == 0:
+            return
         ranks = np.asarray(gt_ranks(jnp.asarray(predicted_scores),
                                     jnp.asarray(target_inds)))
         self._ranks_rnd.append(ranks.reshape(ranks.shape[0], -1))
 
-    def retrieve(self, reset: bool = True):
+    def stats(self):
+        """Sufficient statistics: ([5, R] per-round sums of the indicators
+        (r<=1, r<=5, r<=10) and of (r, 1/r), observed row count). Additive
+        across shards — the multi-host merge allgathers and sums these."""
         if not self._ranks_rnd:
-            return {}
+            return None, 0
         all_rnd = np.concatenate(self._ranks_rnd, axis=0).astype(np.float64)
-        flat = all_rnd.reshape(-1)
-        metrics = {
-            "r@1": float(np.mean(flat <= 1)),
-            "r@5": float(np.mean(flat <= 5)),
-            "r@10": float(np.mean(flat <= 10)),
-            "mean": float(np.mean(flat)),
-            "mrr": float(np.mean(1.0 / flat)),
-        }
-        num_rounds = all_rnd.shape[1]
-        for rnd in range(1, num_rounds + 1):
-            col = all_rnd[:, rnd - 1]
-            metrics[f"r_1_round_{rnd}"] = float(np.mean(col <= 1))
-            metrics[f"r_5_round_{rnd}"] = float(np.mean(col <= 5))
-            metrics[f"r_10_round_{rnd}"] = float(np.mean(col <= 10))
-            metrics[f"mean_round_{rnd}"] = float(np.mean(col))
-            metrics[f"mrr_round_{rnd}"] = float(np.mean(1.0 / col))
+        s = np.stack([(all_rnd <= 1).sum(axis=0), (all_rnd <= 5).sum(axis=0),
+                      (all_rnd <= 10).sum(axis=0), all_rnd.sum(axis=0),
+                      (1.0 / all_rnd).sum(axis=0)])
+        return s, all_rnd.shape[0]
+
+    @staticmethod
+    def metrics_from_stats(s, n: int) -> dict:
+        if not n:
+            return {}
+        names = ("r_1", "r_5", "r_10", "mean", "mrr")
+        flat_names = ("r@1", "r@5", "r@10", "mean", "mrr")
+        total = float(n) * s.shape[1]
+        metrics = {k: float(v) / total for k, v in zip(flat_names,
+                                                       s.sum(axis=1))}
+        for rnd in range(1, s.shape[1] + 1):
+            for k, v in zip(names, s[:, rnd - 1]):
+                metrics[f"{k}_round_{rnd}"] = float(v) / n
+        return metrics
+
+    def retrieve(self, reset: bool = True):
+        metrics = self.metrics_from_stats(*self.stats())
         if reset:
             self.reset()
         return metrics
@@ -113,6 +124,8 @@ class NDCG:
         self.reset()
 
     def observe(self, predicted_scores, target_relevance):
+        if np.asarray(predicted_scores).shape[0] == 0:
+            return  # fully-masked loader tail padding batch
         vals = np.asarray(ndcg_batch(jnp.asarray(predicted_scores),
                                      jnp.asarray(target_relevance)))
         self._num += float(vals.sum())
@@ -127,3 +140,43 @@ class NDCG:
     def reset(self):
         self._num = 0.0
         self._den = 0
+
+
+_BARRIER_SEQ = 0  # one-shot coordination-barrier keys, aligned by call order
+
+
+def allreduce_metrics(sparse: "SparseGTMetrics", ndcg: "NDCG") -> dict:
+    """Global metrics from per-process accumulators (data-sharded multi-host
+    eval: each process scored a disjoint loader shard, loader.py process
+    sharding). Allgathers the additive sufficient statistics over all JAX
+    processes, sums, and evaluates the same formulas retrieve() uses — so
+    the result equals a single process having observed every row. The
+    accumulators are left unchanged."""
+    from jax.experimental import multihost_utils
+
+    s, n = sparse.stats()
+    assert s is not None, \
+        "allreduce_metrics: this process observed no valid rows at all — " \
+        "a zero-stats contribution has no defined [5, R] shape to " \
+        "allgather; shard the split so every process holds >= 1 dialog"
+    # align processes on the coordination service BEFORE the first Gloo
+    # collective: its rendezvous has a ~30 s deadline, and per-process eval
+    # durations can skew past it (compile-cache asymmetry, CPU contention)
+    try:
+        from jax._src.distributed import global_state
+        global _BARRIER_SEQ
+        if global_state.client is not None:
+            global_state.client.wait_at_barrier(
+                f"allreduce_metrics_{_BARRIER_SEQ}", 300_000)
+            _BARRIER_SEQ += 1
+    except Exception:
+        pass  # barrier API moved: fall back to Gloo's own deadline
+    payload = {"s": s, "n": np.float64(n),
+               "ndcg": np.asarray([ndcg._num, float(ndcg._den)], np.float64)}
+    g = multihost_utils.process_allgather(payload)
+    metrics = SparseGTMetrics.metrics_from_stats(
+        np.asarray(g["s"]).sum(axis=0), float(np.asarray(g["n"]).sum()))
+    num, den = np.asarray(g["ndcg"]).sum(axis=0)
+    if den:
+        metrics["ndcg"] = float(num / den)
+    return metrics

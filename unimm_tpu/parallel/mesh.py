@@ -186,6 +186,12 @@ def shard_batch(batch, mesh: Mesh):
     dp = mesh.shape[DP]
     nproc = mesh_process_count(mesh)
 
+    def put_replicated(v):
+        v = np.asarray(v)
+        if nproc == 1:
+            return jax.device_put(v, r)
+        return jax.make_array_from_process_local_data(r, v, v.shape)
+
     def put(v):
         v = np.asarray(v) if not hasattr(v, "shape") else v
         if nproc == 1:
@@ -208,4 +214,10 @@ def shard_batch(batch, mesh: Mesh):
                 f"replicated arrays outside shard_batch")
         return jax.make_array_from_process_local_data(r, v, v.shape)
 
-    return {k: put(v) for k, v in batch.items()}
+    # group-level loss normalisers are per-GROUP scalars/tiny vectors,
+    # identical on every process by construction (length_bucket_morsels
+    # syncs them) — never rows to shard (a [2] nsp_norm_counts would
+    # otherwise look dp-divisible and be row-split)
+    repl_keys = ("lm_norm", "img_norm", "nsp_norm_counts", "nsp_weight")
+    return {k: (put_replicated(v) if k in repl_keys else put(v))
+            for k, v in batch.items()}
