@@ -372,7 +372,24 @@ class PrefixScorer:
         hid = vilbert.mlm_head_at_positions(
             params, cfg, x.reshape(G * O, W, -1), pos_l)
         decoder = params["bert"]["embeddings"]["word_embeddings"].astype(dtype)
-        nll = L.online_softmax_xent(hid, decoder, d_bias, labs)
+        if use_kernel:
+            # fused online-softmax head (ops/pallas_head.py): the XLA scan
+            # spills each [M, chunk] logits tile to HBM between matmul and
+            # reduction (~4.1 ms/group measured, ROADMAP "TPU backlog" #3);
+            # the kernel keeps tiles VMEM-resident and writes only [M] NLL
+            from unimm_tpu.ops import pallas_head
+
+            def _head(h_, l_, w_, b_):
+                return pallas_head.online_softmax_xent_tpu(
+                    h_, w_, b_, l_, interpret=interp)
+
+            _head_c = (_shard_map_dp(smesh, _head, 2) if smesh
+                       else _head)
+            nll = _head_c(hid.reshape(G, O * hid.shape[1], -1),
+                          labs.reshape(G, -1), decoder,
+                          d_bias).reshape(labs.shape)
+        else:
+            nll = L.online_softmax_xent(hid, decoder, d_bias, labs)
         cnt = jnp.sum((labs != -1).astype(jnp.float32), -1)
         nll_sum = jnp.sum(nll, -1)
         return {"ll_sum": (-nll_sum).reshape(G, O),
