@@ -109,20 +109,36 @@ def main():
     # thermal/tunnel drift observed on v5e. The loop mirrors the production
     # evaluate_split pipelining: batch i+1 is staged + dispatched before
     # batch i's scores are fetched, hiding host staging + relay latency.
-    iters, repeats = 6, []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        pending = ev.score_slates_async(params, batches[0])
-        for i in range(1, iters):
-            nxt = ev.score_slates_async(params, batches[i])
+    def run_series(series_batches):
+        iters, reps = len(series_batches), []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            pending = ev.score_slates_async(params, series_batches[0])
+            for i in range(1, iters):
+                nxt = ev.score_slates_async(params, series_batches[i])
+                pending()
+                pending = nxt
             pending()
-            pending = nxt
-        pending()
-        dt = time.perf_counter() - t0
-        repeats.append(B * R * O * iters / dt)
-    seq_per_sec = sorted(repeats)[len(repeats) // 2]
+            dt = time.perf_counter() - t0
+            reps.append(B * R * O * iters / dt)
+        return sorted(reps)[len(reps) // 2], reps
 
+    seq_per_sec, repeats = run_series(batches)
     dialogs_per_sec = seq_per_sec / 1000.0   # 10 rounds x 100 options
+
+    # second series: REALISTIC per-round context growth (caption + r QA
+    # pairs, ~30 -> ~250 tokens across the 10 rounds — real VisDial val
+    # shape) instead of the pinned uniform[58,192) extents, so the headline
+    # is robust to the synthetic-length critique. Reported in detail only;
+    # the headline stays the pinned series for cross-round comparability.
+    from scripts.bench_workload import realistic_ctx_range
+    real_batches = [make_val_batch(
+        rng, cfg, B, R, O,
+        ctx_range_fn=realistic_ctx_range(cfg.max_seq_len))
+        for _ in range(6)]
+    for b in real_batches:                   # warmup (shorter buckets may
+        ev.score_slates(params, b)           # compile cold once per machine)
+    real_seq_per_sec, real_repeats = run_series(real_batches)
     print(json.dumps({
         "metric": "val_lm_dialogs_per_sec_per_chip",
         "value": round(dialogs_per_sec, 4),
@@ -134,6 +150,12 @@ def main():
         "detail": {"seq_per_sec": round(seq_per_sec, 1),
                    "scorer": "prefix-cache (eval/prefix.py)",
                    "repeats_seq_per_sec": [round(r, 1) for r in repeats],
+                   "realistic_dialogs_per_sec": round(
+                       real_seq_per_sec / 1000.0, 4),
+                   "realistic_repeats_seq_per_sec": [
+                       round(r, 1) for r in real_repeats],
+                   "realistic_lengths": "ctx 30->250 over 10 rounds "
+                                        "(real VisDial growth)",
                    "backend": jax.devices()[0].platform},
     }))
 

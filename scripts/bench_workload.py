@@ -17,12 +17,29 @@ context and differ only in the answer).
 import numpy as np
 
 
+def realistic_ctx_range(L):
+    """Per-round context ranges matching real VisDial dialog growth: the
+    round-r context is the caption + r (question, answer) pairs — roughly
+    10 + 22*r tokens, so extents grow ~30 at round 1 to ~250 at round 10
+    (the reference's val split at max_seq_len 256). +/-15% spread, capped
+    to leave room for the two answer copies. Used by bench.py's second
+    (realistic-distribution) series; the PINNED headline series keeps the
+    original uniform ctx_range."""
+    def fn(r):
+        base = 10 + 22 * (r + 1)
+        lo = max(24, int(base * 0.85))
+        hi = min(L - 18, int(base * 1.15))
+        return lo, max(lo + 1, hi)
+    return fn
+
+
 def make_val_batch(rng, cfg, B=2, R=10, O=100, ctx_range=(58, 192),
-                   ans_range=(2, 9), feat_dim=None):
+                   ans_range=(2, 9), feat_dim=None, ctx_range_fn=None):
     """``ctx_range``/``ans_range``/``feat_dim`` let tiny-config consumers
     (scripts/drive_verify.py, __graft_entry__) reuse this generator; the
     DEFAULTS (and the per-option rng draw order) are frozen — changing them
-    changes every measured bench series."""
+    changes every measured bench series. ``ctx_range_fn(r) -> (lo, hi)``
+    overrides ctx_range per round (the realistic-growth series)."""
     L, Rg = cfg.max_seq_len, cfg.max_regions
     if feat_dim is None:
         feat_dim = 2048
@@ -33,7 +50,8 @@ def make_val_batch(rng, cfg, B=2, R=10, O=100, ctx_range=(58, 192),
     ans_len = np.zeros((B, R, O), np.int32)
     for b in range(B):
         for r in range(R):
-            lc = int(rng.integers(*ctx_range))
+            lc = int(rng.integers(*(ctx_range_fn(r) if ctx_range_fn
+                                    else ctx_range)))
             ctx = rng.integers(1, cfg.vocab_size, lc).astype(np.int32)
             cs = rng.integers(0, 2, lc).astype(np.int32)
             for o in range(O):

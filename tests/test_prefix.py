@@ -210,6 +210,22 @@ def test_bench_workload_slates_are_prefix_eligible():
     assert ok.all(), ok
     assert (lc > 0).all() and (rows_max >= 1).all()
 
+    # the realistic-growth series (bench.py's second series) must be
+    # eligible too, and its extents must actually GROW across the rounds
+    from scripts.bench_workload import realistic_ctx_range
+
+    fn = realistic_ctx_range(cfg.max_seq_len)
+    R = 10
+    batch = make_val_batch(rng, cfg, B=2, R=R, O=8, ctx_range_fn=fn)
+    ok, lc, _ = slate_eligibility(batch)
+    assert ok.all(), ok
+    lc = lc.reshape(2, R)
+    assert (lc[:, 0] < 50).all() and (lc[:, -1] > 180).all(), lc
+    for r in range(R):
+        lo, hi = fn(r)
+        assert 1 <= lo < hi <= cfg.max_seq_len - 18
+        assert ((lc[:, r] >= lo) & (lc[:, r] < hi)).all(), (r, lc[:, r])
+
 
 @pytest.mark.parametrize("seed", range(4))
 def test_prefix_matches_flat_fuzz(params, seed):
