@@ -47,26 +47,31 @@ def main():
             ev.score_slates(params, b)
         return nseq / (time.perf_counter() - t0)
 
-    def run_pipe():
+    def run_pipe(depth: int = 1):
+        # depth batches kept in flight (-eval_pipeline / evaluate_split
+        # pipeline_depth); depth 1 is the round-3 production loop
         t0 = time.perf_counter()
-        pending = None
+        pending = []
         for b in batches:
-            fin = ev.score_slates_async(params, b)
-            if pending is not None:
-                pending()
-            pending = fin
-        pending()
+            pending.append(ev.score_slates_async(params, b))
+            if len(pending) > depth:
+                pending.pop(0)()
+        for fin in pending:
+            fin()
         return nseq / (time.perf_counter() - t0)
 
-    sync, pipe = [], []
+    depths = [int(d) for d in (sys.argv[1:] or ["1", "2", "3"])]
+    series = {"sync": []}
+    series.update({f"pipe{d}": [] for d in depths})
     for rep in range(7):
-        sync.append(run_sync())
-        pipe.append(run_pipe())
-        print(f"rep {rep}: sync {sync[-1]:.1f} pipe {pipe[-1]:.1f} seq/s",
+        series["sync"].append(run_sync())
+        for d in depths:
+            series[f"pipe{d}"].append(run_pipe(d))
+        print("rep", rep, {k: round(v[-1], 1) for k, v in series.items()},
               flush=True)
     med = lambda xs: sorted(xs)[len(xs) // 2]
-    print(f"median sync {med(sync):.1f} seq/s = {med(sync)/1000:.3f} d/s")
-    print(f"median pipe {med(pipe):.1f} seq/s = {med(pipe)/1000:.3f} d/s")
+    for k, v in series.items():
+        print(f"median {k}: {med(v):.1f} seq/s = {med(v)/1000:.3f} d/s")
 
 
 if __name__ == "__main__":

@@ -101,6 +101,8 @@ def main():
     sck = PrefixScorer(cfg.replace(attention_impl="pallas_block"),
                        dtype=jnp.bfloat16, group=10)
     f_ans_k = jax.jit(sck._answer_impl)
+    f_nohead_k = jax.jit(
+        lambda p, c, r: sck._answer_impl(p, c, r, with_head=False))
 
     variants = {
         "full": lambda i: sc._grp_fn(params, *groups[i]),
@@ -108,6 +110,7 @@ def main():
         "ans": lambda i: f_ans(params, caches[i], groups[i][1]),
         "ans_k": lambda i: f_ans_k(params, caches[i], groups[i][1]),
         "nohead": lambda i: f_nohead(params, caches[i], groups[i][1]),
+        "nohead_k": lambda i: f_nohead_k(params, caches[i], groups[i][1]),
     }
     res = {}
     for name, fn in variants.items():
@@ -126,7 +129,9 @@ def main():
         print(f"{name:7s} {min(ts):7.2f} ms/group  (runs: "
               + " ".join(f"{t:.2f}" for t in ts) + ")", flush=True)
     print(f"ctx = full - ans ~= {res['full'] - res['ans']:.2f} ms/group; "
-          f"label head = ans - nohead ~= {res['ans'] - res['nohead']:.2f}",
+          f"label head = ans - nohead ~= {res['ans'] - res['nohead']:.2f}; "
+          f"kernel head = ans_k - nohead_k ~= "
+          f"{res['ans_k'] - res['nohead_k']:.2f}",
           flush=True)
 
 

@@ -108,6 +108,17 @@ def bench(name):
         if name.endswith(suffix):
             name, opt_kind = name[: -len(suffix)], suffix[1:]
             break
+    # '+noxattn' (composes after the optimizer suffix strip): monkeypatch
+    # vilbert.attention_core to a pass-through. Under attention_impl=
+    # pallas_block TRAINING the text stream runs the fused kernels, so
+    # attention_core's only remaining callers are the vision self-attention
+    # and both co-attention directions (vilbert.py:358-369) — the delta
+    # vs the unablated variant UPPER-BOUNDS what fusing those sub-blocks
+    # could ever save (a fused kernel still pays the QKV/PV matmuls; this
+    # ablation removes even those score/softmax/PV FLOPs).
+    ablate_core = name.endswith("+noxattn")
+    if ablate_core:
+        name = name[: -len("+noxattn")]
     if "+" in name:
         raise SystemExit(f"unknown optimizer suffix in {label!r}")
     micro, ksteps, sort_buckets = B, 1, False
@@ -142,6 +153,11 @@ def bench(name):
         tx = optim.make_optimizer(params, ocfg)
     name = label
     state = tstep.init_state(params, tx, seed=0)
+    # the patch must span the warmup calls below (jit traces on first call);
+    # restored at the end of bench() so variants compose in one process
+    core0 = vilbert.attention_core
+    if ablate_core:
+        vilbert.attention_core = lambda q, k, v, bias, **kw: v
     train_step = tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16)
     nsp_weight = jnp.asarray([1.0, 1.0])
     def make_group(s):
@@ -175,6 +191,7 @@ def bench(name):
     eff = micro * ksteps
     print(f"{name:16s} {med*1e3:8.1f} ms/step  ({eff/med:.1f} seq/s)  "
           f"min {min(times)*1e3:.1f} max {max(times)*1e3:.1f}")
+    vilbert.attention_core = core0
 
 
 if __name__ == "__main__":
