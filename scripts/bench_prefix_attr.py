@@ -16,6 +16,7 @@ Variants:
   ans_k     — kernel answer pass on precomputed caches
   nohead    — XLA answer pass minus the MLM label head (isolates the
               [P,30522] online-softmax decode cost)
+  ans_xh    — kernel attention + XLA head (head-impl A/B at fixed attention)
 
 Usage: python scripts/bench_prefix_attr.py [Lcb] [n_groups] [repeats]
 """
@@ -84,7 +85,11 @@ def main():
     from unimm_tpu.models import vilbert
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
-    sc = PrefixScorer(cfg, dtype=jnp.bfloat16, group=10)
+    # sc is the explicit XLA baseline: attention_impl gates BOTH the answer
+    # attention kernel and the fused label head, and the config default is
+    # pallas_block since 78b009d — without the replace, full == full_k.
+    sc = PrefixScorer(cfg.replace(attention_impl="xla"),
+                      dtype=jnp.bfloat16, group=10)
 
     groups = [stage_group(make_val_batch(rng, cfg, B=2, R=10, O=100),
                           sc, Lcb) for _ in range(n_groups)]
@@ -104,6 +109,21 @@ def main():
     f_nohead_k = jax.jit(
         lambda p, c, r: sck._answer_impl(p, c, r, with_head=False))
 
+    # ans_xh: kernel attention + XLA online-softmax head (since the
+    # pallas_block default, every other variant uses the fused head — this
+    # isolates the head implementations). Traced EAGERLY under a temporary
+    # monkeypatch; the executable keeps the patched graph.
+    from unimm_tpu.ops import losses as LL
+    from unimm_tpu.ops import pallas_head as PH
+    scx = PrefixScorer(cfg.replace(attention_impl="pallas_block"),
+                       dtype=jnp.bfloat16, group=10)
+    f_ans_xh = jax.jit(scx._answer_impl)
+    orig_head = PH.online_softmax_xent_tpu
+    PH.online_softmax_xent_tpu = (
+        lambda h, w, b, l, **kw: LL.online_softmax_xent(h, w, b, l))
+    f_ans_xh = f_ans_xh.lower(params, caches[0], groups[0][1]).compile()
+    PH.online_softmax_xent_tpu = orig_head
+
     variants = {
         "full": lambda i: sc._grp_fn(params, *groups[i]),
         "full_k": lambda i: sck._grp_fn(params, *groups[i]),
@@ -111,6 +131,7 @@ def main():
         "ans_k": lambda i: f_ans_k(params, caches[i], groups[i][1]),
         "nohead": lambda i: f_nohead(params, caches[i], groups[i][1]),
         "nohead_k": lambda i: f_nohead_k(params, caches[i], groups[i][1]),
+        "ans_xh": lambda i: f_ans_xh(params, caches[i], groups[i][1]),
     }
     res = {}
     for name, fn in variants.items():

@@ -112,7 +112,8 @@ def read_command_line(argv=None) -> dict:
                              'extent and run each at the smallest covering '
                              'multiple of max_seq_len/N (0 = off; 1 = '
                              'quarter buckets; N>=2 = N buckets). '
-                             'Single-process, batch_multiply > 1; v5e: '
+                             'batch_multiply > 1; exact on any mesh (local '
+                             'sort + allgathered group normalisers); v5e: '
                              '655 -> 531 (quarters) -> 502 ms (eighths) '
                              'per effective 240-batch. Eval always buckets '
                              '(exact); this flag covers training.')

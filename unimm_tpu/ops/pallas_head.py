@@ -45,7 +45,7 @@ def _xent_kernel(h_ref, lab_ref, w_ref, b_ref, o_ref,
     logits = jax.lax.dot_general(
         h, w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # [BM, VT]
-    logits = logits + b_ref[...].astype(jnp.float32)[None, :]
+    logits = logits + b_ref[...].astype(jnp.float32)  # b is [1, VT]
 
     m_run, s_run = m_ref[...], s_ref[...]            # [BM, 1]
     c_max = jnp.max(logits, axis=-1, keepdims=True)
@@ -111,7 +111,9 @@ def online_softmax_xent_tpu(hidden, decoder_weight, decoder_bias, labels,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((VT, H), lambda m, v: (v, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((VT,), lambda m, v: (v,),
+            # 2-D [1, VT] blocks: Mosaic tiles 1-D operands at 1024 lanes,
+            # which non-multiple block sizes cannot window
+            pl.BlockSpec((1, VT), lambda m, v: (0, v),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BM, 1), lambda m, v: (m, 0),
@@ -119,5 +121,5 @@ def online_softmax_xent_tpu(hidden, decoder_weight, decoder_bias, labels,
         out_shape=jax.ShapeDtypeStruct((M + pad_m, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((BM, 1), jnp.float32)] * 3,
         interpret=interpret,
-    )(h, lab[:, None], w, b)
+    )(h, lab[:, None], w, b[None, :])
     return nll[:M, 0].reshape(shape)
