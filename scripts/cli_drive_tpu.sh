@@ -1,7 +1,11 @@
 #!/bin/bash
-# End-to-end CLI drive on the real TPU: synthetic flagship-sized data ->
-# train (fused differentiable kernels, remat, bf16) -> reference-format
-# .ckpt -> val_lm ranking from that checkpoint. Validates the production
+# End-to-end CLI drive on the real TPU under the PRODUCTION defaults:
+# synthetic flagship-sized data -> train (fused differentiable kernels,
+# no-remat accumulation microbatches, sorted length-bucketed morsels, bf16)
+# with a mid-run SIGKILL + -auto_resume relaunch (preemption drill on
+# hardware) -> reference-format .ckpt -> val_lm ranking (prefix-cache
+# scorer + pipelined serving loop + eighth length buckets + fused answer
+# kernel, all defaults) -> dense finetune. Validates the production
 # train/eval pipeline on hardware (metrics are meaningless on synthetic
 # data; the point is the full loop executes).
 #
@@ -47,20 +51,55 @@ COMMON="-visdial_processed_train $D/visdial_1.0_train_processed.json \
   -dtype bfloat16 -num_workers 2"
 
 cd $W
-python -m unimm_tpu.cli.train $COMMON \
-  -batch_size 48 -sequences_per_image 6 -num_epochs 1 -overfit -remat 1 \
+# phase 1: sparse train under the production fast recipe (no-remat
+# accumulation microbatches + sorted length-bucketed morsels, defaults for
+# kernels/buckets) with a REAL preemption: SIGKILL the run after its
+# epoch-1 reference .ckpt lands (written after the native Orbax save, so
+# the native state is complete), then relaunch the IDENTICAL command —
+# -auto_resume restores epoch 1 and completes the original 2-epoch budget.
+TRAIN_FLAGS="$COMMON -batch_size 48 -sequences_per_image 6 -batch_multiply 2 \
+  -remat 0 -num_epochs 2 -overfit \
   -eval_every_epochs 100 -save_every_epochs 1 \
-  -save_path $W/ckpt -save_name drive
+  -save_path $W/ckpt -save_name drive -auto_resume"
+python -m unimm_tpu.cli.train $TRAIN_FLAGS > $W/train1.log 2>&1 &
+echo $! > $W/train.pid
+CKPT1=$W/ckpt/drive/visdial_dialog_encoder_1.ckpt
+for i in $(seq 1 2400); do
+  [ -f "$CKPT1" ] && break
+  if ! kill -0 $(cat $W/train.pid) 2>/dev/null; then
+    echo "train run 1 exited before its epoch-1 checkpoint:" >&2
+    tail -40 $W/train1.log >&2
+    exit 1
+  fi
+  sleep 1
+done
+if [ ! -f "$CKPT1" ]; then
+  echo "train run 1 never produced a checkpoint (timeout):" >&2
+  tail -40 $W/train1.log >&2
+  kill -9 $(cat $W/train.pid) 2>/dev/null || true
+  exit 1
+fi
+# || true: on a tiny fixture the run can finish both epochs before the
+# poll sees ckpt 1 — then the kill targets an exited pid and the relaunch
+# is auto_resume's idempotent no-op (still a valid drill of the restart)
+kill -9 $(cat $W/train.pid) 2>/dev/null || true
+wait $(cat $W/train.pid) 2>/dev/null || true
+echo "== preemption drill: SIGKILLED after epoch-1 ckpt; relaunching =="
+python -m unimm_tpu.cli.train $TRAIN_FLAGS
+test -f $W/ckpt/drive/visdial_dialog_encoder_2.ckpt
 
+# phase 2: val_lm ranking from the resumed run's final checkpoint — the
+# production serving path (prefix-cache scorer, pipelined loop, eighth
+# length buckets, fused answer + label-head kernels are all defaults)
 python -m unimm_tpu.cli.val_lm $COMMON \
-  -start_path $W/ckpt/drive/visdial_dialog_encoder_1.ckpt \
+  -start_path $W/ckpt/drive/visdial_dialog_encoder_2.ckpt \
   -val_dis 0 -save_name drive_val
 
 # phase-2 dense-annotation finetuning from the phase-1 checkpoint (the
 # reference's two-stage recipe; one step -- checkpoints save at the
 # reference's own cadence, iter % epoch == 0 && iter > 0)
 python -m unimm_tpu.cli.dense_finetune $COMMON \
-  -start_path $W/ckpt/drive/visdial_dialog_encoder_1.ckpt \
+  -start_path $W/ckpt/drive/visdial_dialog_encoder_2.ckpt \
   -batch_multiply 2 -num_epochs 1 -overfit -remat 1 \
   -eval_every_epochs 100 -save_every_epochs 1 \
   -save_path $W/ckpt_dense -save_name dense
