@@ -63,6 +63,11 @@ def main():
         evs[f"prefix{g}"] = RankingEvaluator(
             cfg, chunk_size=250, dtype=jnp.bfloat16, need_lm=True,
             need_nsp=False, prefix_group=g)
+    # unpacked arm at the first group size: isolates the packed answer-row
+    # layout (pack_option_rows) against the round-3 W-padded layout
+    evs[f"prefix{groups[0]}u"] = RankingEvaluator(
+        cfg, chunk_size=250, dtype=jnp.bfloat16, need_lm=True,
+        need_nsp=False, prefix_group=groups[0], prefix_packed=False)
 
     def score(name, i):
         ev = evs[name]

@@ -157,7 +157,12 @@ def bench(name):
     # restored at the end of bench() so variants compose in one process
     core0 = vilbert.attention_core
     if ablate_core:
-        vilbert.attention_core = lambda q, k, v, bias, **kw: v
+        # query-shaped stub (co-attention has q_len != kv_len): drops the
+        # score/softmax/PV chain and lets XLA DCE the q/k projections too —
+        # strictly MORE than any fused kernel could save
+        vilbert.attention_core = lambda q, k, v, bias, **kw: jnp.broadcast_to(
+            jnp.mean(v, axis=2, keepdims=True),
+            q.shape[:3] + (v.shape[-1],))
     train_step = tstep.make_train_step(cfg, tx, dtype=jnp.bfloat16)
     nsp_weight = jnp.asarray([1.0, 1.0])
     def make_group(s):

@@ -138,6 +138,11 @@ def read_command_line(argv=None) -> dict:
     parser.add_argument('-prefix_group', default=16, type=int,
                         help='slates per prefix-scorer dispatch group '
                              '(scripts/bench_prefix_ab.py sweeps this)')
+    parser.add_argument('-prefix_packed', default=1, type=int,
+                        help='prefix-scorer answer rows packed contiguously '
+                             'per option (eval/prefix.py pack_option_rows: '
+                             'row FLOPs track sum(2*ans_len) instead of '
+                             'O*W). 0 = the W-padded layout')
     parser.add_argument('-eval_pipeline', default=1, type=int,
                         help='val batches kept in flight by the serving '
                              'loop (evaluate_split pipeline_depth); '

@@ -51,7 +51,8 @@ def main(argv=None, mode: str = "ll_sum"):
         chunk_size=params["eval_chunk"], dtype=common.compute_dtype(params),
         ranks_out=ranks, mesh=mesh,
         gen_prefix=bool(params["gen_prefix"]),
-        prefix_group=params["prefix_group"], process_merge=sharded,
+        prefix_group=params["prefix_group"],
+        prefix_packed=bool(params["prefix_packed"]), process_merge=sharded,
         pipeline_depth=params["eval_pipeline"])
     name = params["save_name"] or "val_lm"
     evaluator.dump_ranks(

@@ -43,7 +43,8 @@ class RankingEvaluator:
     def __init__(self, cfg: VilbertConfig, *, chunk_size: int = 256,
                  dtype=jnp.bfloat16, need_lm=True, need_nsp=True, mesh=None,
                  length_buckets=True, bucket_div: int = 8,
-                 gen_prefix=True, prefix_group: int = 16):
+                 gen_prefix=True, prefix_group: int = 16,
+                 prefix_packed=True):
         """``mesh``: optional jax.sharding.Mesh — eval chunks are dp-sharded
         across it (multi-chip serving; chunk_size must divide the dp axis).
 
@@ -125,7 +126,8 @@ class RankingEvaluator:
                 and not cfg.in_batch_pairs and not cfg.fast_mode):
             from unimm_tpu.eval.prefix import PrefixScorer
             self._prefix = PrefixScorer(cfg, dtype=dtype, group=prefix_group,
-                                        bucket_div=bucket_div, mesh=mesh)
+                                        bucket_div=bucket_div, mesh=mesh,
+                                        packed=prefix_packed)
 
     def _label_bucket(self, flat) -> int:
         """Smallest power-of-two label budget covering this batch.
@@ -301,6 +303,7 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    ranks_out: Optional[list] = None,
                    progress_every: int = 10, log=print, mesh=None,
                    gen_prefix: bool = True, prefix_group: int = 16,
+                   prefix_packed: bool = True,
                    process_merge: bool = False,
                    pipeline_depth: int = 1) -> dict:
     """Run ranking eval over a val loader.
@@ -331,7 +334,8 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     ev = RankingEvaluator(cfg, chunk_size=_fit_chunk(chunk_size, mesh),
                           dtype=dtype, need_lm=need_lm,
                           need_nsp=not need_lm, mesh=mesh,
-                          gen_prefix=gen_prefix, prefix_group=prefix_group)
+                          gen_prefix=gen_prefix, prefix_group=prefix_group,
+                          prefix_packed=prefix_packed)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     key = "nsp_prob" if mode == "nsp" else mode

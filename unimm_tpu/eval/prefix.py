@@ -97,6 +97,41 @@ def slate_eligibility(batch) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ok, lc0.astype(np.int32), rows_max
 
 
+def pack_option_rows(n, rb: int, p_quantum: int = 256):
+    """Bin-pack each slate's per-option answer rows into ``rb``-row blocks.
+
+    The packed answer pass (``_answer_impl_packed``) lays option rows out
+    contiguously instead of padding every option to a power-of-two W, so a
+    group's row count tracks sum(2*ans_len) instead of O*W (~36% fewer row
+    FLOPs at bench shapes, more on real VisDial's short answers). Options
+    never straddle an ``rb`` boundary — row->row attention then stays
+    strictly intra-block and the fused answer kernel's block-diagonal bias
+    applies unchanged (ops/pallas_prefix.py:fused_answer_block).
+
+    Args:
+      n: [G, O] int — rows needed per option (2*ans_len, truncation-clipped).
+      rb: row-block size (the kernel grid's Rw).
+      p_quantum: the packed length is rounded up to a multiple of this, to
+        bound the number of distinct compiled shapes (CLAUDE.md: full-model
+        graphs compile through a remote server — shape variety is expensive).
+
+    Returns (starts [G, O] int64 — packed offset of each option's first row,
+    P int — the padded packed length, a multiple of lcm-ish(rb, p_quantum)).
+    """
+    G, O = n.shape
+    cum = np.zeros(G, np.int64)
+    starts = np.empty((G, O), np.int64)
+    for o in range(O):
+        no = n[:, o].astype(np.int64)
+        spill = (cum % rb) + no > rb
+        cum = np.where(spill, ((cum // rb) + 1) * rb, cum)
+        starts[:, o] = cum
+        cum += no
+    q = max(rb, p_quantum)
+    P = int(-(-int(cum.max()) // q) * q)
+    return starts, max(P, q)
+
+
 class PrefixScorer:
     """Scores generative slates via context prefill + answer-rows passes.
 
@@ -127,12 +162,19 @@ class PrefixScorer:
     _IMG_KEYS = ("image_feat", "image_loc", "image_mask")
 
     def __init__(self, cfg: VilbertConfig, *, dtype=jnp.bfloat16,
-                 group: int = 16, bucket_div: int = 8, mesh=None):
+                 group: int = 16, bucket_div: int = 8, mesh=None,
+                 packed: bool = True, row_block: int = 128):
         assert not cfg.in_batch_pairs and not cfg.fast_mode
         self.cfg = cfg
         self.dtype = dtype
         self.group = group
         self._bucket_div = bucket_div
+        # packed answer rows (pack_option_rows): options laid out
+        # contiguously in row_block bins instead of each padded to W —
+        # row FLOPs track sum(2*ans_len) instead of O*W. Falls back to the
+        # W-padded layout per batch when an option needs > row_block rows.
+        self.packed = packed
+        self._rb = row_block
         self.mesh = mesh
         self._dp = 1
         self._nproc = 1
@@ -151,6 +193,15 @@ class PrefixScorer:
         # halves the per-dispatch tunnel overhead (~30 ms each, CLAUDE.md)
         # and the caches never materialise beyond XLA intermediates
         self._grp_fn = jax.jit(self._group_impl)
+        self._grp_fn_packed = jax.jit(self._group_impl_packed)
+
+    def _group_impl_packed(self, params, ctx_batch, rows):
+        res = self._answer_impl_packed(
+            params, self._context_impl(params, ctx_batch), rows)
+        if self._nproc > 1:
+            res = {k: jax.lax.with_sharding_constraint(v, self._repl)
+                   for k, v in res.items()}
+        return res
 
     def _group_impl(self, params, ctx_batch, rows):
         res = self._answer_impl(params, self._context_impl(params,
@@ -395,6 +446,198 @@ class PrefixScorer:
         return {"ll_sum": (-nll_sum).reshape(G, O),
                 "ll_mean": (-(nll_sum / jnp.maximum(cnt, 1.0))).reshape(G, O)}
 
+    def _answer_impl_packed(self, params, caches, rows,
+                            with_head: bool = True):
+        """Packed-layout answer pass: every option's rows laid out
+        contiguously per slate (pack_option_rows) instead of each option
+        padded to a power-of-two W — row FLOPs track sum(2*ans_len)
+        instead of O*W.
+
+        rows keys: tokens/segments/mlm_labels/opt_id/r_in [G, P] (opt_id
+        == O marks inter-option packing padding; r_in is the row's index
+        within its option's window, identical to the W-layout row index),
+        lc [G], ans_len [G, O], image_mask [G, Rg]. Options never straddle
+        a row_block boundary, so row->row attention is intra-block and the
+        fused answer kernel's block-diagonal bias applies unchanged.
+        Scores match _answer_impl / the flat forward_eval to float
+        rounding (tests/test_prefix_packed.py).
+        """
+        cfg, dtype = self.cfg, self.dtype
+        d_bias = params["cls"]["predictions"]["bias"].astype(jnp.float32)
+        params = vilbert.cast_floating(params, dtype)
+        p = params["bert"]
+        G, P = rows["tokens"].shape
+        O = rows["ans_len"].shape[1]
+        RB = self._rb
+        assert P % RB == 0, (P, RB)
+        PB = P // RB
+        lc = rows["lc"]                                    # [G]
+        opt = rows["opt_id"]                               # [G, P]
+        rin = rows["r_in"]                                 # [G, P]
+        A_pad = jnp.concatenate(
+            [rows["ans_len"],
+             jnp.zeros((G, 1), rows["ans_len"].dtype)], axis=1)
+        A_row = jnp.take_along_axis(A_pad, opt, axis=1)    # [G, P]
+        valid = opt < O
+        first = valid & (rin < A_row)
+        # gen position ids: first copy keeps lc + r_in, the masked copy
+        # reuses the first copy's positions; packing padding -> 0
+        i_glob = lc[:, None] + rin
+        pos = jnp.where(valid,
+                        jnp.where(first, i_glob, i_glob - A_row), 0)
+
+        x = vilbert.text_embeddings(
+            p["embeddings"], cfg, rows["tokens"], rows["segments"], pos,
+            train=False, rng=vilbert._Rng(None), dtype=dtype)
+
+        # --- biases (fp32, layer-independent) ---
+        neg = jnp.float32(masks.NEG_INF)
+        Lcb = caches["t"][0].shape[1]
+        jc = jnp.arange(Lcb, dtype=jnp.int32)
+        ctx_open = (jc[None, :] >= 1) & (jc[None, :] < lc[:, None])
+        b_ctx = jnp.where(ctx_open, 0.0, neg)[:, None, None, None, :]
+        # blocked row->row bias [G, PB, RB, RB]: same option AND the
+        # W-layout rule on within-option indices (first copy causal,
+        # second copy strictly-before i - A), self always open (eye)
+        ob = opt.reshape(G, PB, RB)
+        rnb = rin.reshape(G, PB, RB)
+        anb = A_row.reshape(G, PB, RB)
+        fq = first.reshape(G, PB, RB)[..., :, None]
+        same = ((ob[..., :, None] == ob[..., None, :])
+                & (ob[..., :, None] < O))
+        rq, ks = rnb[..., :, None], rnb[..., None, :]
+        allow_first = ks <= rq
+        allow_second = ks < (rq - anb[..., :, None])
+        rr_open = (same & jnp.where(fq, allow_first, allow_second)) \
+            | jnp.eye(RB, dtype=bool)
+        b_rr = jnp.where(rr_open, 0.0, neg).astype(jnp.float32)
+        b_img = masks.image_self_bias(rows["image_mask"])  # [G, 1, 1, Rg]
+
+        nh_t, nh_b = cfg.num_attention_heads, cfg.bi_num_attention_heads
+
+        use_kernel = cfg.attention_impl == "pallas_block"
+        if use_kernel:
+            from unimm_tpu.models.unimm import _kernel_mesh, _shard_map_dp
+            from unimm_tpu.ops import pallas_prefix
+
+            interp = jax.default_backend() == "cpu"
+            b_ctx_k = jnp.where(ctx_open, 0.0, neg)[:, None, :]
+            smesh = _kernel_mesh(self.mesh, G)
+
+            def _ans(xf, kc_f, vc_f, bc, brr, p_attn):
+                return pallas_prefix.fused_answer_block(
+                    xf, kc_f, vc_f, bc, brr, p_attn, num_heads=nh_t,
+                    interpret=interp)
+
+            _ans_c = _shard_map_dp(smesh, _ans, 5) if smesh else _ans
+
+        def split_blocks(t, nh):       # [G, P, Hd] -> [G, PB, nh, RB, d]
+            return t.reshape(G, PB, RB, nh, -1).transpose(0, 1, 3, 2, 4)
+
+        def split_ctx(t, nh):          # [G, K, Hd] -> [G, nh, K, d]
+            g, k, d = t.shape
+            return t.reshape(g, k, nh, d // nh).transpose(0, 2, 1, 3)
+
+        def merge_blocks(t):           # [G, PB, nh, RB, d] -> [G, P, Hd]
+            g, pb, nh, rbs, dh = t.shape
+            return t.transpose(0, 1, 3, 2, 4).reshape(g, pb * rbs, nh * dh)
+
+        rng0 = vilbert._Rng(None)
+
+        def t_layer(lp, x, li):
+            ps, po = lp["attention"]["self"], lp["attention"]["output"]
+            tc = caches["t"][li].astype(dtype)             # [G, Lcb, D]
+            if use_kernel:
+                h = _ans_c(x,
+                           vilbert.linear(ps["key"], tc),
+                           vilbert.linear(ps["value"], tc),
+                           b_ctx_k, b_rr, lp["attention"])
+            else:
+                q = split_blocks(vilbert.linear(ps["query"], x), nh_t)
+                kr = split_blocks(vilbert.linear(ps["key"], x), nh_t)
+                vr = split_blocks(vilbert.linear(ps["value"], x), nh_t)
+                kc = split_ctx(vilbert.linear(ps["key"], tc), nh_t)
+                vc = split_ctx(vilbert.linear(ps["value"], tc), nh_t)
+                scale = 1.0 / math.sqrt(q.shape[-1])
+                s_ctx = jnp.einsum("gbhwd,ghkd->gbhwk", q, kc) * scale
+                s_rr = jnp.einsum("gbhwd,gbhsd->gbhws", q, kr) * scale
+                s = jnp.concatenate(
+                    [s_ctx + b_ctx.astype(s_ctx.dtype),
+                     s_rr + b_rr[:, :, None].astype(s_rr.dtype)], axis=-1)
+                pr = jax.nn.softmax(s.astype(jnp.float32),
+                                    axis=-1).astype(q.dtype)
+                pc, prr = pr[..., :Lcb], pr[..., Lcb:]
+                ctx = merge_blocks(
+                    jnp.einsum("gbhwk,ghkd->gbhwd", pc, vc)
+                    + jnp.einsum("gbhws,gbhsd->gbhwd", prr, vr))
+                h = vilbert.linear(po["dense"], ctx)
+                h = vilbert.layer_norm(po["LayerNorm"], h + x)
+            return vilbert.ffn_block(lp["intermediate"], lp["output"], h,
+                                     act=cfg.hidden_act, hidden_drop=0.0,
+                                     train=False, rng=rng0)
+
+        def c_layer(cp, x, v_in):
+            # text side of BertConnectionLayer; rows are row-independent
+            # queries over the cached vision stream, so no block structure
+            pb_, po = cp["biattention"], cp["biOutput"]
+            vi = v_in.astype(dtype)
+            q2 = split_ctx(vilbert.linear(pb_["query2"], x), nh_b)
+            k1 = split_ctx(vilbert.linear(pb_["key1"], vi), nh_b)
+            v1 = split_ctx(vilbert.linear(pb_["value1"], vi), nh_b)
+            scale = 1.0 / math.sqrt(q2.shape[-1])
+            s = jnp.einsum("ghpd,ghkd->ghpk", q2, k1) * scale
+            s = s + b_img.astype(s.dtype)
+            pr = jax.nn.softmax(s.astype(jnp.float32), -1).astype(q2.dtype)
+            ctx_t = jnp.einsum("ghpk,ghkd->ghpd", pr, v1)
+            ctx_t = ctx_t.transpose(0, 2, 1, 3).reshape(G, P, -1)
+            t_h = vilbert.linear(po["dense2"], ctx_t)
+            t_out = vilbert.layer_norm(po["LayerNorm2"], t_h + x)
+            return vilbert.ffn_block(cp["t_intermediate"], cp["t_output"],
+                                     t_out, act=cfg.hidden_act,
+                                     hidden_drop=0.0, train=False, rng=rng0)
+
+        enc = p["encoder"]
+        t_start = 0
+        for count, t_end in enumerate(cfg.t_biattention_id):
+            for i in range(t_start, t_end):
+                x = t_layer(enc["layer"][str(i)], x, i)
+            if cfg.with_coattention:
+                x = c_layer(enc["c_layer"][str(count)], x,
+                            caches["c_v"][count])
+            t_start = t_end
+        for i in range(t_start, cfg.num_hidden_layers):
+            x = t_layer(enc["layer"][str(i)], x, i)
+
+        if not with_head:
+            return {"x_sum": jnp.sum(x.astype(jnp.float32))}
+        # labels occupy at most half of any option's rows (the masked
+        # second copy), so P // 2 gathered positions always suffice
+        P_lab = max(8, P // 2)
+        pos_l, labs = unimm.label_positions(rows["mlm_labels"], P_lab)
+        hid = vilbert.mlm_head_at_positions(params, cfg, x, pos_l)
+        decoder = params["bert"]["embeddings"]["word_embeddings"].astype(
+            dtype)
+        if use_kernel:
+            from unimm_tpu.ops import pallas_head
+
+            def _head(h_, l_, w_, b_):
+                return pallas_head.online_softmax_xent_tpu(
+                    h_, w_, b_, l_, interpret=interp)
+
+            _head_c = (_shard_map_dp(smesh, _head, 2) if smesh
+                       else _head)
+            nll = _head_c(hid, labs, decoder, d_bias)      # [G, P_lab]
+        else:
+            nll = L.online_softmax_xent(hid, decoder, d_bias, labs)
+        # per-option NLL via a one-hot segment sum over the label rows
+        opt_l = jnp.take_along_axis(opt, pos_l, axis=1)    # [G, P_lab]
+        onehot = ((opt_l[..., None] == jnp.arange(O)[None, None, :])
+                  & (labs != -1)[..., None]).astype(jnp.float32)
+        nll_sum = jnp.einsum("gp,gpo->go", nll.astype(jnp.float32), onehot)
+        cnt = jnp.sum(onehot, axis=1)
+        return {"ll_sum": -nll_sum,
+                "ll_mean": -(nll_sum / jnp.maximum(cnt, 1.0))}
+
     # ------------------------------------------------------------------
     # host orchestration
     # ------------------------------------------------------------------
@@ -439,6 +682,13 @@ class PrefixScorer:
         # img_index
         imgs = self._put_images({k: batch[k] for k in self._IMG_KEYS})
 
+        # packed layout eligibility: every option must fit one row block
+        # (real answers are ~2-20 rows; a pathological giant option falls
+        # back to the W-padded layout for the whole batch)
+        T_all = np.minimum(ce + al, Lx)
+        n_all = np.clip(T_all - lc[:, None], 0, Lx).astype(np.int64)
+        packed = self.packed and int(n_all[sel].max()) <= self._rb
+
         # sort by context length, balance groups to ONE shape per call;
         # under a mesh the group axis is dp-sharded, so round it up
         sel = sel[np.argsort(lc[sel], kind="stable")]
@@ -456,11 +706,6 @@ class PrefixScorer:
                 g = np.concatenate([g, np.repeat(g[-1:], pad)])
             Lcb = masks.quarter_bucket(int(lc[g].max()), Lx,
                                        div=self._bucket_div)
-            need = max(1, int(rows_max[g].max()))
-            W = 16
-            while W < need:
-                W *= 2
-            W = min(W, Lx)
 
             ctx_batch = self._put(dict(
                 tokens=np.ascontiguousarray(toks[g, 0, :Lcb]),
@@ -470,6 +715,45 @@ class PrefixScorer:
                 ans_len=np.zeros(g.size, np.int32),
                 img_index=img_of_slate[g]))
             ctx_batch.update(imgs)
+
+            if packed:
+                gs = g.size
+                n = n_all[g]                            # [gs, O] rows/option
+                starts, P = pack_option_rows(n, self._rb)
+                reps = n.ravel()
+                oid = np.repeat(
+                    np.tile(np.arange(O, dtype=np.int64), gs), reps)
+                sid = np.repeat(np.repeat(np.arange(gs), O), reps)
+                csum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+                rin = (np.arange(int(reps.sum()), dtype=np.int64)
+                       - np.repeat(csum, reps))
+                ppos = np.repeat(starts.ravel(), reps) + rin
+                src = lc[g].astype(np.int64)[sid] + rin  # < Lx (n <= T - lc)
+                tokens_p = np.zeros((gs, P), np.int32)
+                segs_p = np.zeros((gs, P), np.int32)
+                labs_p = np.full((gs, P), -1, np.int32)
+                opt_p = np.full((gs, P), O, np.int32)
+                rin_p = np.zeros((gs, P), np.int32)
+                tg, sg, lg = toks[g], segs[g], labs[g]
+                tokens_p[sid, ppos] = tg[sid, oid, src]
+                segs_p[sid, ppos] = sg[sid, oid, src]
+                labs_p[sid, ppos] = lg[sid, oid, src]
+                opt_p[sid, ppos] = oid
+                rin_p[sid, ppos] = rin
+                rows = self._put(dict(
+                    tokens=tokens_p, segments=segs_p, mlm_labels=labs_p,
+                    opt_id=opt_p, r_in=rin_p, lc=lc[g],
+                    ans_len=al[g].astype(np.int32),
+                    image_mask=imask_h[img_of_slate[g]]))
+                outs.append((g[:gs - pad] if pad else g, pad,
+                             self._grp_fn_packed(params, ctx_batch, rows)))
+                continue
+
+            need = max(1, int(rows_max[g].max()))
+            W = 16
+            while W < need:
+                W *= 2
+            W = min(W, Lx)
 
             idx = lc[g][:, None, None] + np.arange(W, dtype=np.int64)[None,
                                                                       None, :]
