@@ -95,8 +95,9 @@ def main():
     B, R, O = 2, 10, 100
 
     # chunk 250 for the (rare) flat fallback; the prefix scorer groups
-    # slates itself (default group 16 -> balanced groups of 10 here, the
-    # best point in the scripts/bench_prefix_ab.py group sweep)
+    # slates itself (default group 20 -> ONE dispatch per batch here; under
+    # the packed answer-row layout the round-4 scripts/bench_prefix_ab.py
+    # sweep has 20 beating the round-3 optimum 10 by ~13%)
     ev = RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
                           need_lm=True, need_nsp=False)
     # 6 DISTINCT batches: byte-identical dispatches can return memoised

@@ -135,7 +135,7 @@ def read_command_line(argv=None) -> dict:
                              'exact to float rounding, 2.59 -> 9.44 '
                              'dialogs/s/chip). 0 = always use the flat '
                              'full-forward path')
-    parser.add_argument('-prefix_group', default=16, type=int,
+    parser.add_argument('-prefix_group', default=20, type=int,
                         help='slates per prefix-scorer dispatch group '
                              '(scripts/bench_prefix_ab.py sweeps this)')
     parser.add_argument('-prefix_packed', default=1, type=int,

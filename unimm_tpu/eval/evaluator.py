@@ -43,7 +43,7 @@ class RankingEvaluator:
     def __init__(self, cfg: VilbertConfig, *, chunk_size: int = 256,
                  dtype=jnp.bfloat16, need_lm=True, need_nsp=True, mesh=None,
                  length_buckets=True, bucket_div: int = 8,
-                 gen_prefix=True, prefix_group: int = 16,
+                 gen_prefix=True, prefix_group: int = 20,
                  prefix_packed=True):
         """``mesh``: optional jax.sharding.Mesh — eval chunks are dp-sharded
         across it (multi-chip serving; chunk_size must divide the dp axis).
@@ -302,7 +302,7 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    chunk_size: int = 256, dtype=jnp.bfloat16,
                    ranks_out: Optional[list] = None,
                    progress_every: int = 10, log=print, mesh=None,
-                   gen_prefix: bool = True, prefix_group: int = 16,
+                   gen_prefix: bool = True, prefix_group: int = 20,
                    prefix_packed: bool = True,
                    process_merge: bool = False,
                    pipeline_depth: int = 1) -> dict:
@@ -415,7 +415,7 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
                       dtype=jnp.bfloat16, ranks_out: Optional[list] = None,
                       test_split: bool = False, log=print, mesh=None,
                       gen_prefix: bool = True,
-                      prefix_group: int = 16) -> dict:
+                      prefix_group: int = 20) -> dict:
     """Multi-checkpoint ensemble: per-model scores are min-max normalised per
     slate and summed (val.py:151-164 / evaluate.py:108-132). With
     ``test_split`` the loader yields [1, 100] slates and ranks_out records the
