@@ -269,3 +269,7 @@ def test_prefix_knobs_plumb_through():
     ev2 = RankingEvaluator(TINY, chunk_size=8, dtype=jnp.float32,
                            need_lm=True, need_nsp=False, prefix_group=5)
     assert ev2._prefix is not None and ev2._prefix.group == 5
+    assert ev2._prefix.packed                 # packed layout is the default
+    ev3 = RankingEvaluator(TINY, chunk_size=8, dtype=jnp.float32,
+                           need_lm=True, need_nsp=False, prefix_packed=False)
+    assert ev3._prefix is not None and not ev3._prefix.packed
