@@ -64,7 +64,11 @@ TRAIN_FLAGS="$COMMON -batch_size 48 -sequences_per_image 6 -batch_multiply 2 \
 python -m unimm_tpu.cli.train $TRAIN_FLAGS > $W/train1.log 2>&1 &
 echo $! > $W/train.pid
 CKPT1=$W/ckpt/drive/visdial_dialog_encoder_1.ckpt
-for i in $(seq 1 2400); do
+# a COLD compile cache can spend >45 min compiling before step 1 (CLAUDE.md:
+# up to 8 bucketed Mosaic shapes per phase through the remote compile
+# server) — default the poll deadline past that, override via env
+DEADLINE=${CLI_DRIVE_CKPT_DEADLINE:-4500}
+for i in $(seq 1 $DEADLINE); do
   [ -f "$CKPT1" ] && break
   if ! kill -0 $(cat $W/train.pid) 2>/dev/null; then
     echo "train run 1 exited before its epoch-1 checkpoint:" >&2

@@ -19,7 +19,7 @@ rank = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -61,4 +61,38 @@ print("MERGED", rank,
       {k: round(float(v), 6) for k, v in sorted(merged.items())}, flush=True)
 print("SERVED", rank, sorted(set(ds.served)), flush=True)
 print("RANKSN", rank, len(ranks_out), flush=True)
+
+# --- a process that observes ZERO valid rows: global batch 1 is padded to
+# the 2 processes, so rank 1 only ever receives the duplicated row. Its
+# accumulators stay empty — the progress log must not KeyError and
+# allreduce_metrics must still merge to the global metrics.
+ds0 = SlateDataset(make_split(cfg, 3, 2, 4), 3)
+loader0 = DataLoader(ds0, 1, shuffle=False, num_workers=2,
+                     collate_fn=collate,
+                     process_index=rank, process_count=nproc)
+logs = []
+merged0 = evaluate_split(params, cfg, loader0, mode="ll_sum",
+                         dtype=jnp.float32, chunk_size=4, progress_every=1,
+                         log=logs.append, process_merge=True)
+print("MERGED0", rank,
+      {k: round(float(v), 6) for k, v in sorted(merged0.items())}, flush=True)
+print("LOGN", rank, len(logs), flush=True)
+
+# --- data-sharded eval over a LOCAL 2-device dp mesh (what cli/val_lm.py
+# builds under -eval_data_sharded on a multi-chip host): each process jits
+# independently over its own devices; the merged metrics must be unchanged.
+from unimm_tpu.parallel import mesh as pmesh  # noqa: E402
+
+lmesh = pmesh.local_mesh()
+assert lmesh.shape[pmesh.DP] == 2, dict(lmesh.shape)
+params_l, _ = pmesh.shard_params(params, lmesh)
+loader_l = DataLoader(ds, 2, shuffle=False, num_workers=2,
+                      collate_fn=collate,
+                      process_index=rank, process_count=nproc)
+merged_l = evaluate_split(params_l, cfg, loader_l, mode="ll_sum",
+                          dtype=jnp.float32, chunk_size=4, progress_every=0,
+                          process_merge=True, mesh=lmesh)
+print("MERGEDL", rank,
+      {k: round(float(v), 6) for k, v in sorted(merged_l.items())},
+      flush=True)
 print("EVALW_OK", rank, flush=True)

@@ -51,6 +51,17 @@ def test_drop_last_and_len():
     assert sum(1 for _ in loader) == 4
 
 
+def test_training_loader_rejects_nondivisible_process_shard():
+    """drop_last=True consumers (training) ignore the 'valid' padding mask,
+    so a non-divisible process shard must fail LOUDLY at construction, not
+    silently train duplicated rows every batch."""
+    ds = CountingDataset(23)
+    with pytest.raises(ValueError, match="divide"):
+        DataLoader(ds, 5, drop_last=True, process_index=0, process_count=2)
+    # eval loaders (drop_last=False) pad and flag instead — allowed
+    DataLoader(ds, 5, drop_last=False, process_index=0, process_count=2)
+
+
 def test_bounded_construction():
     """Item construction must stay within the prefetch window — not the whole
     epoch (the pre-fix behaviour submitted everything up front)."""

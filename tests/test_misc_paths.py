@@ -111,6 +111,8 @@ def test_metrics_logger_save_env(tmp_path):
         "\r", "")
     env = json.load(open(d / "env.json"))
     assert env["plots"]["loss.csv"]["rows"] == 1
+    # hist files carry no header line — rows must not be undercounted
+    assert env["plots"]["hist_grad_norm.csv"]["rows"] == 1
     # disabled logger: all new methods are no-ops
     off = MetricsLogger(None)
     off.show_text("x", "k")

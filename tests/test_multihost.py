@@ -281,6 +281,35 @@ def test_eval_tail_padding_two_process():
            if abs(single[k] - m0[k]) > 2e-6}   # MERGED printed at 6 decimals
     assert not bad, bad
 
+    # zero-valid-rows process (global batch 1 padded over 2 processes:
+    # rank 1 only ever sees duplicates): merge still returns the global
+    # metrics on BOTH processes and the progress log printed every batch
+    z0 = _parse(outs[0][1], "MERGED0", 0)
+    z1 = _parse(outs[1][1], "MERGED0", 1)
+    assert z0.keys() == z1.keys() and z0, (sorted(z0), sorted(z1))
+    for k in z0:
+        assert abs(z0[k] - z1[k]) < 1e-9, (k, z0[k], z1[k])
+    assert _parse(outs[0][1], "LOGN", 0) == 3  # progress_every=1, 3 batches
+    assert _parse(outs[1][1], "LOGN", 1) == 3
+    ds3 = SlateDataset(make_split(cfg, 3, 2, 4), 3)
+    ld3 = DataLoader(ds3, 1, shuffle=False, num_workers=2,
+                     collate_fn=collate)
+    single3 = evaluate_split(params, cfg, ld3, mode="ll_sum",
+                             dtype=jnp.float32, chunk_size=4,
+                             progress_every=0)
+    bad = {k: (single3[k], z0[k]) for k in single3
+           if abs(single3[k] - z0[k]) > 2e-6}
+    assert not bad, bad
+
+    # data-sharded eval over a LOCAL 2-device dp mesh equals the no-mesh
+    # sharded run (cli/val_lm.py's -eval_data_sharded multi-chip-host path)
+    L0 = _parse(outs[0][1], "MERGEDL", 0)
+    L1 = _parse(outs[1][1], "MERGEDL", 1)
+    assert L0.keys() == L1.keys() == m0.keys()
+    for k in L0:
+        assert abs(L0[k] - L1[k]) < 1e-9, (k, L0[k], L1[k])
+        assert abs(L0[k] - m0[k]) < 2e-6, (k, L0[k], m0[k])
+
 
 MORSEL_WORKER = os.path.join(REPO, "tests", "_multihost_morsel_worker.py")
 

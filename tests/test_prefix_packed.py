@@ -34,6 +34,20 @@ def test_pack_option_rows_no_straddle():
     assert P <= 100 * 16
 
 
+def test_pack_option_rows_lcm_quantum():
+    """P must be a multiple of BOTH rb (the kernel row grid asserts
+    P % rb == 0) and p_quantum — i.e. of lcm(rb, p_quantum) — including
+    when rb does not divide the quantum (e.g. row_block=96)."""
+    rng = np.random.default_rng(1)
+    n = rng.integers(1, 17, (3, 50))
+    for rb, q in ((96, 256), (128, 256), (48, 64), (256, 96)):
+        starts, P = pack_option_rows(n, rb, p_quantum=q)
+        assert P % rb == 0 and P % q == 0, (rb, q, P)
+        ends = starts + n
+        assert (starts // rb == (ends - 1) // rb).all()
+        assert int(ends.max()) <= P
+
+
 def test_packed_matches_unpacked_xla(params):
     batch = make_shared_batch(np.random.default_rng(11), TINY, B=2, R=3, O=6)
     a, ok_a = PrefixScorer(TINY, dtype=jnp.float32,

@@ -42,7 +42,14 @@ def main(argv=None, mode: str = "ll_sum"):
                         process_count=nproc if sharded else 1)
     print("len_dataloader_eval:", len(loader))
 
-    mesh = None if sharded else _mesh(params)
+    if sharded:
+        # each process computes independently on its OWN chips — a local
+        # dp mesh spreads its shard over every addressable device instead
+        # of idling all but device 0 (single local device: no mesh needed)
+        from unimm_tpu.parallel import mesh as pmesh
+        mesh = pmesh.local_mesh() if len(jax.local_devices()) > 1 else None
+    else:
+        mesh = _mesh(params)
     model_params = common.place_params_for_eval(
         common.init_model(params, cfg), mesh)
     ranks = []

@@ -53,6 +53,15 @@ class DataLoader:
         self.epoch = 0
         assert 0 <= process_index < process_count, (process_index,
                                                     process_count)
+        if drop_last and batch_size % process_count != 0:
+            # training consumers ignore the ``valid`` padding mask
+            # (flatten_for_forward drops it), so padding here would silently
+            # train duplicated rows every batch — fail loudly instead
+            raise ValueError(
+                f"process-sharded training loader: batch_size {batch_size} "
+                f"must divide over the {process_count} processes "
+                "(drop_last=True batches carry no 'valid' mask consumers; "
+                "pick a divisible -batch_size)")
         self.process_index = process_index
         self.process_count = process_count
         self.dropped_rows = 0   # always 0 since the r4 tail-padding fix

@@ -375,10 +375,12 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
         if progress_every and batch_idx % progress_every == 0:
             cur = {**sparse.retrieve(reset=False),
                    **ndcg.retrieve(reset=False)}
+            # a data-sharded process can have seen only padding rows so far
+            # (nproc > global batch size): its accumulators are empty
+            keys = ("r@1", "r@5", "r@10", "mean", "mrr", "ndcg")
+            body = " ".join(f"{k} {cur[k]:.4f}" for k in keys if k in cur)
             log(f"eval batches: {batch_idx} "
-                f"r@1 {cur['r@1']:.4f} r@5 {cur['r@5']:.4f} "
-                f"r@10 {cur['r@10']:.4f} mean {cur['mean']:.4f} "
-                f"mrr {cur['mrr']:.4f} ndcg {cur['ndcg']:.4f}")
+                + (body or "(no valid rows on this process yet)"))
 
     assert pipeline_depth >= 1, pipeline_depth
     pending: List[tuple] = []

@@ -116,7 +116,7 @@ def pack_option_rows(n, rb: int, p_quantum: int = 256):
         graphs compile through a remote server — shape variety is expensive).
 
     Returns (starts [G, O] int64 — packed offset of each option's first row,
-    P int — the padded packed length, a multiple of lcm-ish(rb, p_quantum)).
+    P int — the padded packed length, a multiple of lcm(rb, p_quantum)).
     """
     G, O = n.shape
     cum = np.zeros(G, np.int64)
@@ -127,7 +127,7 @@ def pack_option_rows(n, rb: int, p_quantum: int = 256):
         cum = np.where(spill, ((cum // rb) + 1) * rb, cum)
         starts[:, o] = cum
         cum += no
-    q = max(rb, p_quantum)
+    q = rb * p_quantum // math.gcd(rb, p_quantum)  # lcm: P must satisfy BOTH
     P = int(-(-int(cum.max()) // q) * q)
     return starts, max(P, q)
 

@@ -155,10 +155,6 @@ def allreduce_metrics(sparse: "SparseGTMetrics", ndcg: "NDCG") -> dict:
     from jax.experimental import multihost_utils
 
     s, n = sparse.stats()
-    assert s is not None, \
-        "allreduce_metrics: this process observed no valid rows at all — " \
-        "a zero-stats contribution has no defined [5, R] shape to " \
-        "allgather; shard the split so every process holds >= 1 dialog"
     # align processes on the coordination service BEFORE the first Gloo
     # collective: its rendezvous has a ~30 s deadline, and per-process eval
     # durations can skew past it (compile-cache asymmetry, CPU contention)
@@ -171,7 +167,19 @@ def allreduce_metrics(sparse: "SparseGTMetrics", ndcg: "NDCG") -> dict:
             _BARRIER_SEQ += 1
     except Exception:
         pass  # barrier API moved: fall back to Gloo's own deadline
-    payload = {"s": s, "n": np.float64(n),
+    # a process can legitimately observe ZERO valid rows (every padded batch
+    # slice was duplicates — happens whenever process_count exceeds the
+    # global eval batch size). Its stats are None with no defined round
+    # count R, so agree on max(R) first and contribute zeros.
+    r_local = 0 if s is None else s.shape[1]
+    r_max = int(np.asarray(
+        multihost_utils.process_allgather(np.int64(r_local))).max())
+    if r_max == 0:
+        return {}
+    s_pad = np.zeros((5, r_max), np.float64)
+    if s is not None:
+        s_pad[:, :s.shape[1]] = s
+    payload = {"s": s_pad, "n": np.float64(n),
                "ndcg": np.asarray([ndcg._num, float(ndcg._den)], np.float64)}
     g = multihost_utils.process_allgather(payload)
     metrics = SparseGTMetrics.metrics_from_stats(

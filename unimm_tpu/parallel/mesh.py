@@ -43,6 +43,17 @@ def make_mesh(n_devices: Optional[int] = None, mp: int = 1,
     return Mesh(arr, (DP, MP))
 
 
+def local_mesh(mp: int = 1) -> Mesh:
+    """dp(+mp) mesh over THIS process's addressable devices only.
+
+    Data-sharded eval (-eval_data_sharded) runs an independent computation
+    per process over its own loader shard; this mesh spreads that
+    computation across all local chips instead of idling everything but
+    device 0. Distinct from make_mesh, which spans the global device list
+    and requires every process to participate in the same jit."""
+    return make_mesh(devices=jax.local_devices(), mp=mp)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (flattened-sequence) axis over dp, replicate over mp."""
     return NamedSharding(mesh, P(DP))

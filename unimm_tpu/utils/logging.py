@@ -81,7 +81,9 @@ class MetricsLogger:
             path = os.path.join(self.dir, name)
             with open(path) as f:
                 rows = sum(1 for _ in f)
-            plots[name] = {"rows": max(0, rows - 1)}
+            # hist_* files append raw value rows with no header line
+            header = 0 if name.startswith("hist_") else 1
+            plots[name] = {"rows": max(0, rows - header)}
         with open(os.path.join(self.dir, "env.json"), "w") as f:
             json.dump({"saved_at": time.time(), "plots": plots}, f, indent=2)
 
