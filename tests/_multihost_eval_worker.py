@@ -62,6 +62,11 @@ print("MERGED", rank,
 print("SERVED", rank, sorted(set(ds.served)), flush=True)
 print("RANKSN", rank, len(ranks_out), flush=True)
 
+# one merged predictions file from the disjoint shards (rank 0 writes)
+from unimm_tpu.eval.evaluator import dump_ranks_merged  # noqa: E402
+
+dump_ranks_merged(ranks_out, f"/tmp/mh_ranks_{port}.json")
+
 # --- a process that observes ZERO valid rows: global batch 1 is padded to
 # the 2 processes, so rank 1 only ever receives the duplicated row. Its
 # accumulators stay empty — the progress log must not KeyError and

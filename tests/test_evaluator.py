@@ -253,6 +253,20 @@ def test_evaluate_split_pipelined(setup):
                                       pipeline_depth=depth, **kw)
         assert md == m1, depth
         assert ranks_d == ranks, depth
+    # coalesced serving (-eval_coalesce): batches merged into one dispatch
+    # give identical metrics and rank entries, incl. a tail smaller than
+    # the coalesce factor and a 'valid' mask on one member
+    batches[1]["valid"] = np.ones(batches[1]["tokens"].shape[0], bool)
+    ranks_c = []
+    mc = evaluator.evaluate_split(params, TINY, list(batches),
+                                  ranks_out=ranks_c, coalesce=2, **kw)
+    ranks_1 = []
+    m1v = evaluator.evaluate_split(params, TINY, list(batches),
+                                   ranks_out=ranks_1, **kw)
+    assert mc.keys() == m1v.keys()
+    for k in mc:   # ndcg sums per-example values in a different grouping
+        assert abs(mc[k] - m1v[k]) < 1e-6, (k, mc[k], m1v[k])
+    assert ranks_c == ranks_1
 
 
 def test_prefix_knobs_plumb_through():

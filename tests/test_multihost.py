@@ -281,6 +281,16 @@ def test_eval_tail_padding_two_process():
            if abs(single[k] - m0[k]) > 2e-6}   # MERGED printed at 6 decimals
     assert not bad, bad
 
+    # merged predictions file: rank 0 wrote ONE file covering every valid
+    # (dialog, round) exactly once — the reference's single save_name dump
+    import json
+    with open(f"/tmp/mh_ranks_{port}.json") as f:
+        merged_ranks = json.load(f)
+    assert len(merged_ranks) == 5 * 2
+    pairs = {(e["image_id"], e["round_id"]) for e in merged_ranks}
+    assert len(pairs) == 10 and all(len(e["ranks"]) == 4
+                                    for e in merged_ranks)
+
     # zero-valid-rows process (global batch 1 padded over 2 processes:
     # rank 1 only ever sees duplicates): merge still returns the global
     # metrics on BOTH processes and the progress log printed every batch

@@ -147,6 +147,11 @@ def read_command_line(argv=None) -> dict:
                         help='val batches kept in flight by the serving '
                              'loop (evaluate_split pipeline_depth); '
                              'scripts/bench_pipeline_ab.py sweeps this')
+    parser.add_argument('-eval_coalesce', default=1, type=int,
+                        help='consecutive val batches merged into ONE '
+                             'scoring dispatch (exact; amortises the fixed '
+                             'per-dispatch relay overhead). Pair with '
+                             '-prefix_group = slates per coalesced batch')
     parser.add_argument('-eval_data_sharded', default=0, type=int,
                         help='multi-process eval mode: 1 = each process '
                              'scores a DISJOINT shard of the val split on '

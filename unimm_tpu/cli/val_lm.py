@@ -60,11 +60,16 @@ def main(argv=None, mode: str = "ll_sum"):
         gen_prefix=bool(params["gen_prefix"]),
         prefix_group=params["prefix_group"],
         prefix_packed=bool(params["prefix_packed"]), process_merge=sharded,
-        pipeline_depth=params["eval_pipeline"])
+        pipeline_depth=params["eval_pipeline"],
+        coalesce=params["eval_coalesce"])
     name = params["save_name"] or "val_lm"
-    evaluator.dump_ranks(
-        ranks, name + (f"_predictions.rank{rank}.txt" if sharded
-                       else "_predictions.txt"), all_processes=sharded)
+    if sharded:
+        # one merged predictions file, like the reference's single
+        # save_name dump (val_lm.py:186-190) — the per-process shards are
+        # allgathered and process 0 writes
+        evaluator.dump_ranks_merged(ranks, name + "_predictions.txt")
+    else:
+        evaluator.dump_ranks(ranks, name + "_predictions.txt")
     common.print_metrics(metrics)
     return metrics
 

@@ -298,6 +298,34 @@ class RankingEvaluator:
         return finalize
 
 
+def _merge_batches(bs: Sequence[dict]) -> dict:
+    """Concatenate loader batches along the dialog axis (coalesced serving:
+    one bigger dispatch amortises the per-dispatch relay overhead). The
+    'valid' tail-padding mask is merged treating absent masks as all-True."""
+    if len(bs) == 1:
+        return bs[0]
+    keys = set().union(*[set(b) for b in bs]) - {"valid"}
+    out = {k: np.concatenate([np.asarray(b[k]) for b in bs], axis=0)
+           for k in keys}
+    if any("valid" in b for b in bs):
+        out["valid"] = np.concatenate(
+            [np.asarray(b["valid"]) if "valid" in b
+             else np.ones(np.asarray(b["tokens"]).shape[0], bool)
+             for b in bs])
+    return out
+
+
+def _coalesced(loader, n: int):
+    buf: List[dict] = []
+    for b in loader:
+        buf.append(b)
+        if len(buf) == n:
+            yield _merge_batches(buf)
+            buf = []
+    if buf:
+        yield _merge_batches(buf)
+
+
 def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    chunk_size: int = 256, dtype=jnp.bfloat16,
                    ranks_out: Optional[list] = None,
@@ -305,7 +333,8 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    gen_prefix: bool = True, prefix_group: int = 20,
                    prefix_packed: bool = True,
                    process_merge: bool = False,
-                   pipeline_depth: int = 1) -> dict:
+                   pipeline_depth: int = 1,
+                   coalesce: int = 1) -> dict:
     """Run ranking eval over a val loader.
 
     mode: 'nsp' (discriminative), 'll_sum' (val_lm), 'll_mean' (val_avg_lm).
@@ -317,6 +346,11 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     async). Depth 1 hides one batch of staging; deeper keeps the device fed
     across consecutive host-side consume() stalls at the cost of holding
     depth batches' score buffers on device.
+
+    ``coalesce`` merges that many consecutive loader batches into one
+    scoring dispatch (exact — metrics/ranks are per-row). Useful with a
+    matching ``prefix_group`` (= slates per coalesced batch) to amortise
+    the fixed per-dispatch relay overhead over more slates.
 
     Batches may carry a boolean ``valid`` row mask (the process-sharded
     DataLoader pads non-divisible tails by duplicating the last row):
@@ -383,8 +417,10 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                 + (body or "(no valid rows on this process yet)"))
 
     assert pipeline_depth >= 1, pipeline_depth
+    assert coalesce >= 1, coalesce
+    src = loader if coalesce == 1 else _coalesced(loader, coalesce)
     pending: List[tuple] = []
-    for batch_idx, batch in enumerate(loader, start=1):
+    for batch_idx, batch in enumerate(src, start=1):
         fin = dispatch(batch)
         pending.append((batch_idx, batch, fin))
         if len(pending) > pipeline_depth:
@@ -495,3 +531,47 @@ def dump_ranks(ranks: list, path: str, all_processes: bool = False):
         return
     with open(path, "w") as f:
         json.dump(ranks, f)
+
+
+def dump_ranks_merged(ranks: list, path: str):
+    """Write ONE predictions file from data-sharded eval (the reference
+    emits a single save_name file, val_lm.py:186-190): every process's
+    disjoint rank entries are allgathered and process 0 writes them sorted
+    by (image_id, round_id) — deterministic regardless of how the loader
+    interleaved the shards. Single-process: plain dump."""
+    if jax.process_count() == 1:
+        ranks = sorted(ranks, key=lambda e: (e["image_id"], e["round_id"]))
+        with open(path, "w") as f:
+            json.dump(ranks, f)
+        return
+    from jax.experimental import multihost_utils
+
+    # per-process entry counts differ (disjoint shards, padded tails) —
+    # agree on the widths, pad, allgather, then strip the padding
+    n = len(ranks)
+    o = len(ranks[0]["ranks"]) if ranks else 0
+    dims = np.asarray(multihost_utils.process_allgather(
+        np.asarray([n, o], np.int64)))
+    n_max, o_max = int(dims[:, 0].max()), int(dims[:, 1].max())
+    if n_max == 0:
+        if jax.process_index() == 0:
+            with open(path, "w") as f:
+                json.dump([], f)
+        return
+    flat = np.zeros((n_max, 3 + o_max), np.int64)   # [valid, id, round, ranks]
+    for i, e in enumerate(ranks):
+        flat[i, 0] = 1
+        flat[i, 1] = e["image_id"]
+        flat[i, 2] = e["round_id"]
+        flat[i, 3:3 + len(e["ranks"])] = e["ranks"]
+    g = np.asarray(multihost_utils.process_allgather(flat))
+    if jax.process_index() != 0:
+        return
+    rows = g.reshape(-1, 3 + o_max)
+    rows = rows[rows[:, 0] == 1]
+    merged = [{"image_id": int(r[1]), "round_id": int(r[2]),
+               "ranks": [int(x) for x in r[3:]]}
+              for r in rows]
+    merged.sort(key=lambda e: (e["image_id"], e["round_id"]))
+    with open(path, "w") as f:
+        json.dump(merged, f)
