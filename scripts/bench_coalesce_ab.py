@@ -8,7 +8,8 @@ amortises that fixed cost over twice the work.
 
 A: the pinned bench loop — 6 batches of B=2 (20 slates each), group 20.
 B: the same 12 dialogs as 3 coalesced batches (40 slates each), group 40.
-Both pipelined one batch in flight; reps interleaved (CLAUDE.md: only
+C: the same 12 dialogs as 2 coalesced batches (60 slates each), group 60.
+All pipelined one batch in flight; reps interleaved (CLAUDE.md: only
 same-process interleaved A/Bs are decisive through the tunnel).
 
 Usage: python scripts/bench_coalesce_ab.py [reps=7]
@@ -53,26 +54,31 @@ def main():
     rng = np.random.default_rng(0)
     B, R, O = 2, 10, 100
     batches = [make_val_batch(rng, cfg, B, R, O) for _ in range(6)]
-    pairs = [_merge_batches(batches[i:i + 2]) for i in range(0, 6, 2)]
+    series = {
+        "coalesce1/group20": (20, batches),
+        "coalesce2/group40": (40, [_merge_batches(batches[i:i + 2])
+                                   for i in range(0, 6, 2)]),
+        "coalesce3/group60": (60, [_merge_batches(batches[i:i + 3])
+                                   for i in range(0, 6, 3)]),
+    }
     n_dialogs = 6 * B * R / 10  # = 12 dialogs of 10 rounds
 
-    ev20 = RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
-                            need_lm=True, need_nsp=False, prefix_group=20)
-    ev40 = RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
-                            need_lm=True, need_nsp=False, prefix_group=40)
-    for b in batches:
-        ev20.score_slates(params, b)     # warmup/compile
-    for p in pairs:
-        ev40.score_slates(params, p)
+    evs = {}
+    for name, (group, bs) in series.items():
+        evs[name] = RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
+                                     need_lm=True, need_nsp=False,
+                                     prefix_group=group)
+        for b in bs:
+            evs[name].score_slates(params, b)     # warmup/compile
 
-    a, b_ = [], []
+    out = {name: [] for name in series}
     for r in range(reps):
-        a.append(n_dialogs / run_pipelined(ev20, params, batches))
-        b_.append(n_dialogs / run_pipelined(ev40, params, pairs))
+        for name, (_, bs) in series.items():      # interleaved
+            out[name].append(n_dialogs / run_pipelined(evs[name], params, bs))
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-    print("group20 d/s:", [round(x, 2) for x in a], "median", round(med(a), 2))
-    print("coalesce2/group40 d/s:", [round(x, 2) for x in b_],
-          "median", round(med(b_), 2))
+    for name, xs in out.items():
+        print(name, "d/s:", [round(x, 2) for x in xs],
+              "median", round(med(xs), 2))
 
 
 if __name__ == "__main__":
