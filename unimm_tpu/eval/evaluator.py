@@ -304,7 +304,11 @@ def _merge_batches(bs: Sequence[dict]) -> dict:
     'valid' tail-padding mask is merged treating absent masks as all-True."""
     if len(bs) == 1:
         return bs[0]
-    keys = set().union(*[set(b) for b in bs]) - {"valid"}
+    keys = set(bs[0]) - {"valid"}
+    for b in bs[1:]:
+        assert set(b) - {"valid"} == keys, \
+            ("coalesced batches must share keys", sorted(keys),
+             sorted(set(b) - {"valid"}))
     out = {k: np.concatenate([np.asarray(b[k]) for b in bs], axis=0)
            for k in keys}
     if any("valid" in b for b in bs):
