@@ -95,33 +95,41 @@ def main():
     B, R, O = 2, 10, 100
 
     # chunk 250 for the (rare) flat fallback; the prefix scorer groups
-    # slates itself (default group 20 -> ONE dispatch per batch here; under
-    # the packed answer-row layout the round-4 scripts/bench_prefix_ab.py
-    # sweep has 20 beating the round-3 optimum 10 by ~13%)
+    # slates itself (default group 40 = one dispatch per COALESCED pair of
+    # 20-slate batches — the production -eval_coalesce 2 serving mode,
+    # +12% over one-dispatch-per-batch in the interleaved
+    # scripts/bench_coalesce_ab.py; group 20 beat the round-3 optimum 10
+    # by ~13% under the packed answer-row layout)
     ev = RankingEvaluator(cfg, chunk_size=250, dtype=jnp.bfloat16,
                           need_lm=True, need_nsp=False)
     # 6 DISTINCT batches: byte-identical dispatches can return memoised
     # through the TPU relay (CLAUDE.md), so no batch repeats within a repeat
+    from unimm_tpu.eval.evaluator import _merge_batches
     batches = [make_val_batch(rng, cfg, B, R, O) for _ in range(6)]
-    for b in batches:                        # compile + warmup (every batch:
-        ev.score_slates(params, b)           # distinct shapes may compile)
-    # pinned protocol: 9 repeats of 6 scoring passes over distinct batches;
+    # pinned protocol: 9 repeats of 6 scoring passes over distinct batches
+    # (coalesced pairwise into 3 dispatches, the -eval_coalesce 2 default);
     # report the median repeat. 9 damps the +/-4% cross-process
     # thermal/tunnel drift observed on v5e. The loop mirrors the production
     # evaluate_split pipelining: batch i+1 is staged + dispatched before
     # batch i's scores are fetched, hiding host staging + relay latency.
     def run_series(series_batches):
-        iters, reps = len(series_batches), []
+        pairs = [_merge_batches(series_batches[i:i + 2])
+                 for i in range(0, len(series_batches), 2)]
+        for p in pairs:                      # compile + warmup (every pair:
+            ev.score_slates(params, p)       # distinct shapes may compile)
+        n_seq = sum(int(np.prod(b["tokens"].shape[:3]))   # B*R*O sequences
+                    for b in series_batches)
+        reps = []
         for _ in range(9):
             t0 = time.perf_counter()
-            pending = ev.score_slates_async(params, series_batches[0])
-            for i in range(1, iters):
-                nxt = ev.score_slates_async(params, series_batches[i])
+            pending = ev.score_slates_async(params, pairs[0])
+            for i in range(1, len(pairs)):
+                nxt = ev.score_slates_async(params, pairs[i])
                 pending()
                 pending = nxt
             pending()
             dt = time.perf_counter() - t0
-            reps.append(B * R * O * iters / dt)
+            reps.append(n_seq / dt)
         return sorted(reps)[len(reps) // 2], reps
 
     seq_per_sec, repeats = run_series(batches)
@@ -137,8 +145,6 @@ def main():
         rng, cfg, B, R, O,
         ctx_range_fn=realistic_ctx_range(cfg.max_seq_len))
         for _ in range(6)]
-    for b in real_batches:                   # warmup (shorter buckets may
-        ev.score_slates(params, b)           # compile cold once per machine)
     real_seq_per_sec, real_repeats = run_series(real_batches)
     print(json.dumps({
         "metric": "val_lm_dialogs_per_sec_per_chip",

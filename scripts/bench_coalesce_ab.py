@@ -12,7 +12,9 @@ C: the same 12 dialogs as 2 coalesced batches (60 slates each), group 60.
 All pipelined one batch in flight; reps interleaved (CLAUDE.md: only
 same-process interleaved A/Bs are decisive through the tunnel).
 
-Usage: python scripts/bench_coalesce_ab.py [reps=7]
+Usage: python scripts/bench_coalesce_ab.py [reps=7] [realistic]
+('realistic' switches the workload to the real-VisDial context growth
+series, ctx 30->250 over 10 rounds)
 """
 
 import dataclasses
@@ -49,11 +51,17 @@ def run_pipelined(ev, params, batches):
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    realistic = "realistic" in sys.argv[2:]
     cfg = dataclasses.replace(VilbertConfig(), attention_impl="pallas_block")
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     B, R, O = 2, 10, 100
-    batches = [make_val_batch(rng, cfg, B, R, O) for _ in range(6)]
+    kw = {}
+    if realistic:
+        from scripts.bench_workload import realistic_ctx_range
+        kw["ctx_range_fn"] = realistic_ctx_range(cfg.max_seq_len)
+        print("workload: realistic ctx growth 30->250")
+    batches = [make_val_batch(rng, cfg, B, R, O, **kw) for _ in range(6)]
     series = {
         "coalesce1/group20": (20, batches),
         "coalesce2/group40": (40, [_merge_batches(batches[i:i + 2])

@@ -262,7 +262,7 @@ def test_evaluate_split_pipelined(setup):
                                   ranks_out=ranks_c, coalesce=2, **kw)
     ranks_1 = []
     m1v = evaluator.evaluate_split(params, TINY, list(batches),
-                                   ranks_out=ranks_1, **kw)
+                                   ranks_out=ranks_1, coalesce=1, **kw)
     assert mc.keys() == m1v.keys()
     for k in mc:   # ndcg sums per-example values in a different grouping
         assert abs(mc[k] - m1v[k]) < 1e-6, (k, mc[k], m1v[k])

@@ -135,8 +135,10 @@ def read_command_line(argv=None) -> dict:
                              'exact to float rounding, 2.59 -> 9.44 '
                              'dialogs/s/chip). 0 = always use the flat '
                              'full-forward path')
-    parser.add_argument('-prefix_group', default=20, type=int,
-                        help='slates per prefix-scorer dispatch group '
+    parser.add_argument('-prefix_group', default=40, type=int,
+                        help='slates per prefix-scorer dispatch group; the '
+                             'default 40 = one dispatch per -eval_coalesce'
+                             '-2 pair of 20-slate batches '
                              '(scripts/bench_prefix_ab.py sweeps this)')
     parser.add_argument('-prefix_packed', default=1, type=int,
                         help='prefix-scorer answer rows packed contiguously '
@@ -147,10 +149,13 @@ def read_command_line(argv=None) -> dict:
                         help='val batches kept in flight by the serving '
                              'loop (evaluate_split pipeline_depth); '
                              'scripts/bench_pipeline_ab.py sweeps this')
-    parser.add_argument('-eval_coalesce', default=1, type=int,
+    parser.add_argument('-eval_coalesce', default=2, type=int,
                         help='consecutive val batches merged into ONE '
                              'scoring dispatch (exact; amortises the fixed '
-                             'per-dispatch relay overhead). Pair with '
+                             'per-dispatch relay overhead — the default 2 '
+                             'with -prefix_group 40 = one dispatch per '
+                             'pair, +12%% interleaved A/B, '
+                             'scripts/bench_coalesce_ab.py). Pair with '
                              '-prefix_group = slates per coalesced batch')
     parser.add_argument('-eval_data_sharded', default=0, type=int,
                         help='multi-process eval mode: 1 = each process '

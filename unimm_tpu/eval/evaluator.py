@@ -43,7 +43,7 @@ class RankingEvaluator:
     def __init__(self, cfg: VilbertConfig, *, chunk_size: int = 256,
                  dtype=jnp.bfloat16, need_lm=True, need_nsp=True, mesh=None,
                  length_buckets=True, bucket_div: int = 8,
-                 gen_prefix=True, prefix_group: int = 20,
+                 gen_prefix=True, prefix_group: int = 40,
                  prefix_packed=True):
         """``mesh``: optional jax.sharding.Mesh — eval chunks are dp-sharded
         across it (multi-chip serving; chunk_size must divide the dp axis).
@@ -334,11 +334,11 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    chunk_size: int = 256, dtype=jnp.bfloat16,
                    ranks_out: Optional[list] = None,
                    progress_every: int = 10, log=print, mesh=None,
-                   gen_prefix: bool = True, prefix_group: int = 20,
+                   gen_prefix: bool = True, prefix_group: int = 40,
                    prefix_packed: bool = True,
                    process_merge: bool = False,
                    pipeline_depth: int = 1,
-                   coalesce: int = 1) -> dict:
+                   coalesce: int = 2) -> dict:
     """Run ranking eval over a val loader.
 
     mode: 'nsp' (discriminative), 'll_sum' (val_lm), 'll_mean' (val_avg_lm).
@@ -352,9 +352,11 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
     depth batches' score buffers on device.
 
     ``coalesce`` merges that many consecutive loader batches into one
-    scoring dispatch (exact — metrics/ranks are per-row). Useful with a
-    matching ``prefix_group`` (= slates per coalesced batch) to amortise
-    the fixed per-dispatch relay overhead over more slates.
+    scoring dispatch (exact — metrics/ranks are per-row). With a matching
+    ``prefix_group`` (= slates per coalesced batch) it amortises the fixed
+    per-dispatch relay overhead over more slates; the defaults (2 batches,
+    group 40) won the interleaved A/B by +12% over one-dispatch-per-batch
+    (scripts/bench_coalesce_ab.py; group 60 was worse and unstable).
 
     Batches may carry a boolean ``valid`` row mask (the process-sharded
     DataLoader pads non-divisible tails by duplicating the last row):
@@ -457,7 +459,7 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
                       dtype=jnp.bfloat16, ranks_out: Optional[list] = None,
                       test_split: bool = False, log=print, mesh=None,
                       gen_prefix: bool = True,
-                      prefix_group: int = 20) -> dict:
+                      prefix_group: int = 40) -> dict:
     """Multi-checkpoint ensemble: per-model scores are min-max normalised per
     slate and summed (val.py:151-164 / evaluate.py:108-132). With
     ``test_split`` the loader yields [1, 100] slates and ranks_out records the

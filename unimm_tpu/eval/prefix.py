@@ -162,7 +162,7 @@ class PrefixScorer:
     _IMG_KEYS = ("image_feat", "image_loc", "image_mask")
 
     def __init__(self, cfg: VilbertConfig, *, dtype=jnp.bfloat16,
-                 group: int = 20, bucket_div: int = 8, mesh=None,
+                 group: int = 40, bucket_div: int = 8, mesh=None,
                  packed: bool = True, row_block: int = 128):
         assert not cfg.in_batch_pairs and not cfg.fast_mode
         self.cfg = cfg
