@@ -74,6 +74,24 @@ def test_packed_matches_flat_kernel_path(params):
                                    rtol=2e-4, atol=2e-5, err_msg=k)
 
 
+def test_packed_kernel_nondefault_row_block(params):
+    """Non-default ``row_block`` on the fused-kernel path: small blocks make
+    options span several kernel grid steps per slate (the default 128 fits a
+    whole tiny slate in one), exercising the blocked row->row bias across
+    block boundaries (scripts/bench_rowblock_ab.py sweeps this on TPU)."""
+    cfg = TINY.replace(attention_impl="pallas_block")
+    batch = make_shared_batch(np.random.default_rng(15), TINY, B=2, R=2, O=6)
+    ref = _flat_scores(params, batch)
+    for rb in (8, 32):
+        out, ok = PrefixScorer(cfg, dtype=jnp.float32, packed=True,
+                               row_block=rb).score(params, batch)
+        assert ok.all()
+        for k in ("ll_sum", "ll_mean"):
+            np.testing.assert_allclose(out[k].reshape(-1), ref[k],
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"rb={rb} {k}")
+
+
 def test_unpacked_truncated_second_copy(params):
     """ctx_end + ans_len > L with packed=False: the W-padded layout (the
     giant-option fallback) keeps exact truncation semantics. The PACKED
