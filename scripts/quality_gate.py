@@ -103,7 +103,14 @@ def main(argv=None):
         if k not in golden:
             continue
         tol = gate_args.tol_mean if k == "mean" else gate_args.tol
-        got, want = metrics[k], golden[k]
+        got, want = metrics.get(k), golden[k]
+        if got is None:
+            # evaluate_split can legitimately omit a key (e.g. 'ndcg' with a
+            # zero merged denominator) — that's a gate FAILURE, not a crash
+            print(f"  {k:6s} MISSING from eval metrics  "
+                  f"golden {want:.5f}  FAIL")
+            failures.append((k, None, want, tol))
+            continue
         ok = abs(got - want) <= tol
         print(f"  {k:6s} got {got:.5f}  golden {want:.5f}  "
               f"tol {tol}  {'ok' if ok else 'FAIL'}")

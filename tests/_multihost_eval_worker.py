@@ -82,6 +82,9 @@ merged0 = evaluate_split(params, cfg, loader0, mode="ll_sum",
 print("MERGED0", rank,
       {k: round(float(v), 6) for k, v in sorted(merged0.items())}, flush=True)
 print("LOGN", rank, len(logs), flush=True)
+# progress accounting counts LOADER batches (matches len(loader)), logged
+# once per consumed dispatch group — the final line must report all 3
+print("LOGLAST", rank, int(logs[-1].split()[2]), flush=True)
 
 # --- data-sharded eval over a LOCAL 2-device dp mesh (what cli/val_lm.py
 # builds under -eval_data_sharded on a multi-chip host): each process jits
@@ -100,4 +103,38 @@ merged_l = evaluate_split(params_l, cfg, loader_l, mode="ll_sum",
 print("MERGEDL", rank,
       {k: round(float(v), 6) for k, v in sorted(merged_l.items())},
       flush=True)
+
+# --- data-sharded ENSEMBLE eval (the reference's second headline config is
+# a multi-GPU discriminative ensemble, /root/reference/evaluate.py:27-132):
+# same tail-padded 5-slate split, TWO models, nsp mode, coalesced + deep
+# pipeline. Every dialog must be ranked exactly once and the process-merged
+# metrics must equal a single-process ensemble run (checked by the parent).
+from unimm_tpu.eval.evaluator import evaluate_ensemble  # noqa: E402
+
+params2 = vilbert.init_params(jax.random.PRNGKey(1), cfg)
+ds_e = SlateDataset(make_split(cfg, N, R, O), N)
+loader_e = DataLoader(ds_e, 2, shuffle=False, num_workers=2,
+                      collate_fn=collate,
+                      process_index=rank, process_count=nproc)
+ranks_e = []
+merged_e = evaluate_ensemble([params, params2], cfg, loader_e, mode="nsp",
+                             dtype=jnp.float32, chunk_size=4,
+                             ranks_out=ranks_e, process_merge=True,
+                             pipeline_depth=2, coalesce=2,
+                             progress_every=0)
+print("MERGEDE", rank,
+      {k: round(float(v), 6) for k, v in sorted(merged_e.items())},
+      flush=True)
+print("SERVEDE", rank, sorted(set(ds_e.served)), flush=True)
+print("RANKSE", rank, len(ranks_e), flush=True)
+dump_ranks_merged(ranks_e, f"/tmp/mh_ranks_ens_{port}.json")
+
+# --- dump_ranks_merged with ASYMMETRIC per-entry option counts across
+# processes: the merged file must carry each entry's true length (no
+# spurious rank-0 padding)
+asym = ([{"image_id": 7, "round_id": 1, "ranks": [3, 1, 4, 2]},
+         {"image_id": 8, "round_id": 1, "ranks": [2, 1, 3, 4]}]
+        if rank == 0 else
+        [{"image_id": 9, "round_id": 2, "ranks": [1, 2]}])
+dump_ranks_merged(asym, f"/tmp/mh_ranks_asym_{port}.json")
 print("EVALW_OK", rank, flush=True)

@@ -67,6 +67,48 @@ def test_generative_ensemble(tmp_path):
     assert 0 <= metrics["ndcg"] <= 1 and metrics["mean"] >= 1
 
 
+def test_ensemble_valid_mask_coalesce_pipeline():
+    """evaluate_ensemble serving parity (round-5): tail-padding 'valid' rows
+    are excluded from metrics and ranks_out, and coalesce/pipeline_depth
+    leave results bit-identical (the merged dispatch is exact)."""
+    from tests._slate_fixture import make_split
+    from __graft_entry__ import dryrun_config
+    from unimm_tpu.eval.evaluator import evaluate_ensemble
+    from unimm_tpu.models import vilbert
+
+    cfg = dryrun_config()
+    split = make_split(cfg, 5, 2, 4)
+    p1 = vilbert.init_params(jax.random.PRNGKey(0), cfg)
+    p2 = vilbert.init_params(jax.random.PRNGKey(1), cfg)
+
+    def batches(pad):
+        groups = [[0, 1], [2, 3], [4, 4] if pad else [4]]
+        for g, ids in enumerate(groups):
+            b = {k: np.asarray(v)[ids] for k, v in split.items()}
+            if pad:
+                b["valid"] = np.asarray([True, g < 2])
+            yield b
+
+    def run(pad, **kw):
+        ranks = []
+        m = evaluate_ensemble([p1, p2], cfg, list(batches(pad)), mode="nsp",
+                              dtype=jnp.float32, chunk_size=8,
+                              ranks_out=ranks, progress_every=0, **kw)
+        return m, ranks
+
+    m_base, r_base = run(pad=False)
+    assert len(r_base) == 5 * 2
+    for m, r in (run(pad=True),
+                 run(pad=True, coalesce=2, pipeline_depth=2),
+                 run(pad=False, coalesce=3)):
+        assert m.keys() == m_base.keys()
+        for k in m_base:
+            # fp32 scores differ at ~1e-8 between chunk compositions (the
+            # reduction tree regroups at different bucket widths)
+            assert abs(m[k] - m_base[k]) < 1e-6, (k, m[k], m_base[k])
+        assert r == r_base
+
+
 def test_tokenizer_decode_roundtrip():
     from tests.fixtures import make_tokenizer
     tok = make_tokenizer()

@@ -299,8 +299,13 @@ def test_eval_tail_padding_two_process():
     assert z0.keys() == z1.keys() and z0, (sorted(z0), sorted(z1))
     for k in z0:
         assert abs(z0[k] - z1[k]) < 1e-9, (k, z0[k], z1[k])
-    assert _parse(outs[0][1], "LOGN", 0) == 3  # progress_every=1, 3 batches
-    assert _parse(outs[1][1], "LOGN", 1) == 3
+    # progress accounting counts LOADER batches, one line per consumed
+    # dispatch group: 3 batches at the -eval_coalesce 2 default -> groups of
+    # (2, 1) -> 2 lines, the last reporting all 3 batches
+    assert _parse(outs[0][1], "LOGN", 0) == 2
+    assert _parse(outs[1][1], "LOGN", 1) == 2
+    assert _parse(outs[0][1], "LOGLAST", 0) == 3
+    assert _parse(outs[1][1], "LOGLAST", 1) == 3
     ds3 = SlateDataset(make_split(cfg, 3, 2, 4), 3)
     ld3 = DataLoader(ds3, 1, shuffle=False, num_workers=2,
                      collate_fn=collate)
@@ -319,6 +324,48 @@ def test_eval_tail_padding_two_process():
     for k in L0:
         assert abs(L0[k] - L1[k]) < 1e-9, (k, L0[k], L1[k])
         assert abs(L0[k] - m0[k]) < 2e-6, (k, L0[k], m0[k])
+
+    # --- data-sharded ENSEMBLE eval (discriminative nsp mode, 2 models,
+    # coalesce 2, pipeline 2) with the same non-divisible tail: every slate
+    # served, every (dialog, round) ranked exactly once across processes,
+    # process-merged metrics equal a single-process ensemble run
+    s0 = set(_parse(outs[0][1], "SERVEDE", 0))
+    s1 = set(_parse(outs[1][1], "SERVEDE", 1))
+    assert s0 | s1 == set(range(5)), (s0, s1)
+    ne0 = _parse(outs[0][1], "RANKSE", 0)
+    ne1 = _parse(outs[1][1], "RANKSE", 1)
+    assert ne0 + ne1 == 5 * 2, (ne0, ne1)
+    E0 = _parse(outs[0][1], "MERGEDE", 0)
+    E1 = _parse(outs[1][1], "MERGEDE", 1)
+    assert E0.keys() == E1.keys() == m0.keys()
+    for k in E0:
+        assert abs(E0[k] - E1[k]) < 1e-9, (k, E0[k], E1[k])
+    from unimm_tpu.eval.evaluator import evaluate_ensemble
+    params2 = vilbert.init_params(jax.random.PRNGKey(1), cfg)
+    ds_e = SlateDataset(make_split(cfg, 5, 2, 4), 5)
+    ld_e = DataLoader(ds_e, 2, shuffle=False, num_workers=2,
+                      collate_fn=collate)
+    single_e = evaluate_ensemble([params, params2], cfg, ld_e, mode="nsp",
+                                 dtype=jnp.float32, chunk_size=4,
+                                 progress_every=0)
+    assert set(single_e) == set(E0), (sorted(single_e), sorted(E0))
+    bad = {k: (single_e[k], E0[k]) for k in single_e
+           if abs(single_e[k] - E0[k]) > 2e-6}
+    assert not bad, bad
+    with open(f"/tmp/mh_ranks_ens_{port}.json") as f:
+        merged_e = json.load(f)
+    assert len(merged_e) == 5 * 2
+    pairs_e = {(e["image_id"], e["round_id"]) for e in merged_e}
+    assert len(pairs_e) == 10 and all(len(e["ranks"]) == 4
+                                      for e in merged_e)
+
+    # --- dump_ranks_merged with asymmetric per-entry option counts: true
+    # lengths are preserved (no spurious rank-0 padding entries)
+    with open(f"/tmp/mh_ranks_asym_{port}.json") as f:
+        asym = json.load(f)
+    assert [(e["image_id"], len(e["ranks"])) for e in asym] == \
+        [(7, 4), (8, 4), (9, 2)], asym
+    assert asym[2]["ranks"] == [1, 2]
 
 
 MORSEL_WORKER = os.path.join(REPO, "tests", "_multihost_morsel_worker.py")

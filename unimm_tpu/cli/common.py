@@ -65,6 +65,34 @@ def eval_mesh(params: dict):
     return None
 
 
+def sharded_eval_setup(params: dict, dataset, batch_size: int):
+    """(loader, mesh, sharded) for an eval entry point.
+
+    With ``-eval_data_sharded`` under multi-process JAX each process scores
+    a DISJOINT shard of the split on its LOCAL devices (non-divisible tails
+    padded + masked by the loader; metrics allgather-merged by the caller
+    via process_merge) — throughput scales with hosts. Default: replicated
+    loader over the one global -n_gpus mesh (every process iterates the
+    whole split, like the reference's single-process eval)."""
+    from unimm_tpu.data.loader import DataLoader
+
+    nproc, rank = jax.process_count(), jax.process_index()
+    sharded = nproc > 1 and bool(params.get("eval_data_sharded"))
+    loader = DataLoader(dataset, batch_size, shuffle=False,
+                        num_workers=params["num_workers"],
+                        process_index=rank if sharded else 0,
+                        process_count=nproc if sharded else 1)
+    if sharded:
+        # each process computes independently on its OWN chips — a local
+        # dp mesh spreads its shard over every addressable device instead
+        # of idling all but device 0 (single local device: no mesh needed)
+        from unimm_tpu.parallel import mesh as pmesh
+        mesh = pmesh.local_mesh() if len(jax.local_devices()) > 1 else None
+    else:
+        mesh = eval_mesh(params)
+    return loader, mesh, sharded
+
+
 def place_params_for_eval(model_params, mesh):
     """Commit eval params onto the eval mesh (replicated over dp, sharded
     over mp). Without this, params restored from a native Orbax directory

@@ -11,8 +11,6 @@ import sys
 
 from unimm_tpu.cli import common, options
 from unimm_tpu.data.dataset import VisdialDataset
-from unimm_tpu.data.loader import DataLoader
-from unimm_tpu.cli.common import eval_mesh as _mesh
 from unimm_tpu.eval import evaluator
 from unimm_tpu.models import vilbert
 
@@ -29,20 +27,24 @@ def main(argv=None):
     params = dict(params, num_options=100)
     dataset = VisdialDataset(params, tokenizer, reader)
     dataset.split = "test"
-    loader = DataLoader(dataset, 4, shuffle=False,
-                        num_workers=params["num_workers"])
+    loader, mesh, sharded = common.sharded_eval_setup(params, dataset, 4)
+    print("len_dataloader_eval:", len(loader))
 
     template = vilbert.init_params(jax.random.PRNGKey(0), cfg)
-    mesh = _mesh(params)
     ensemble = [common.place_params_for_eval(p, mesh)
                 for p in common.load_ensemble(params, template)]
     ranks = []
     evaluator.evaluate_ensemble(
         ensemble, cfg, loader, mode="nsp", chunk_size=params["eval_chunk"],
         dtype=common.compute_dtype(params), ranks_out=ranks, test_split=True,
-        mesh=mesh)
+        mesh=mesh, pipeline_depth=params["eval_pipeline"],
+        coalesce=params["eval_coalesce"])
     out = (params["save_name"] or "evaluate") + "_predictions.txt"
-    evaluator.dump_ranks(ranks, out)
+    if sharded:
+        # ONE EvalAI submission file merged from the disjoint shards
+        evaluator.dump_ranks_merged(ranks, out)
+    else:
+        evaluator.dump_ranks(ranks, out)
     print("wrote", out, len(ranks), "records")
 
 

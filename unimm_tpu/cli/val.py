@@ -12,8 +12,6 @@ import sys
 
 from unimm_tpu.cli import common, options
 from unimm_tpu.data.dataset import VisdialDataset
-from unimm_tpu.data.loader import DataLoader
-from unimm_tpu.cli.common import eval_mesh as _mesh
 from unimm_tpu.eval import evaluator
 from unimm_tpu.models import vilbert
 
@@ -30,20 +28,27 @@ def main(argv=None):
     dataset = VisdialDataset(params, tokenizer, reader)
     dataset.split = "val"
     eval_batch_size = 5 if params["overfit"] else 2
-    loader = DataLoader(dataset, eval_batch_size, shuffle=False,
-                        num_workers=params["num_workers"])
+    loader, mesh, sharded = common.sharded_eval_setup(
+        params, dataset, eval_batch_size)
+    print("len_dataloader_eval:", len(loader))
 
     template = vilbert.init_params(jax.random.PRNGKey(0), cfg)
-    mesh = _mesh(params)
     ensemble = [common.place_params_for_eval(p, mesh)
                 for p in common.load_ensemble(params, template)]
     ranks = []
     metrics = evaluator.evaluate_ensemble(
         ensemble, cfg, loader, mode="nsp", chunk_size=params["eval_chunk"],
         dtype=common.compute_dtype(params), ranks_out=ranks,
-        mesh=mesh)
-    evaluator.dump_ranks(ranks, (params["save_name"] or "val")
-                         + "_predictions.txt")
+        mesh=mesh, process_merge=sharded,
+        pipeline_depth=params["eval_pipeline"],
+        coalesce=params["eval_coalesce"])
+    name = (params["save_name"] or "val") + "_predictions.txt"
+    if sharded:
+        # one merged predictions file from the disjoint per-process shards
+        # (the reference writes a single save_name dump, val.py:166-178)
+        evaluator.dump_ranks_merged(ranks, name)
+    else:
+        evaluator.dump_ranks(ranks, name)
     common.print_metrics(metrics)
     return metrics
 

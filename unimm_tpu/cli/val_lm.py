@@ -14,8 +14,6 @@ import sys
 
 from unimm_tpu.cli import common, options
 from unimm_tpu.data.dataset import VisdialDataset
-from unimm_tpu.data.loader import DataLoader
-from unimm_tpu.cli.common import eval_mesh as _mesh
 from unimm_tpu.eval import evaluator
 
 
@@ -29,27 +27,10 @@ def main(argv=None, mode: str = "ll_sum"):
     dataset = VisdialDataset(params, tokenizer, reader)
     dataset.split = "val"
     eval_batch_size = 5 if params["overfit"] else 2
-    import jax
-    nproc, rank = jax.process_count(), jax.process_index()
-    # -eval_data_sharded: each process scores a disjoint split shard on its
-    # LOCAL devices; metrics are allgather-merged at the end (throughput
-    # scales with hosts — vs the default replicated-loader mode where every
-    # process iterates the whole split over one global mesh)
-    sharded = nproc > 1 and bool(params["eval_data_sharded"])
-    loader = DataLoader(dataset, eval_batch_size, shuffle=False,
-                        num_workers=params["num_workers"],
-                        process_index=rank if sharded else 0,
-                        process_count=nproc if sharded else 1)
+    loader, mesh, sharded = common.sharded_eval_setup(
+        params, dataset, eval_batch_size)
     print("len_dataloader_eval:", len(loader))
 
-    if sharded:
-        # each process computes independently on its OWN chips — a local
-        # dp mesh spreads its shard over every addressable device instead
-        # of idling all but device 0 (single local device: no mesh needed)
-        from unimm_tpu.parallel import mesh as pmesh
-        mesh = pmesh.local_mesh() if len(jax.local_devices()) > 1 else None
-    else:
-        mesh = _mesh(params)
     model_params = common.place_params_for_eval(
         common.init_model(params, cfg), mesh)
     ranks = []

@@ -306,9 +306,11 @@ def _merge_batches(bs: Sequence[dict]) -> dict:
         return bs[0]
     keys = set(bs[0]) - {"valid"}
     for b in bs[1:]:
-        assert set(b) - {"valid"} == keys, \
-            ("coalesced batches must share keys", sorted(keys),
-             sorted(set(b) - {"valid"}))
+        if set(b) - {"valid"} != keys:
+            # explicit (not assert): input validation must survive python -O
+            raise ValueError(
+                f"coalesced batches must share keys: {sorted(keys)} vs "
+                f"{sorted(set(b) - {'valid'})}")
     out = {k: np.concatenate([np.asarray(b[k]) for b in bs], axis=0)
            for k in keys}
     if any("valid" in b for b in bs):
@@ -320,14 +322,39 @@ def _merge_batches(bs: Sequence[dict]) -> dict:
 
 
 def _coalesced(loader, n: int):
+    """Yield (loader batches merged, merged batch) groups of up to n."""
     buf: List[dict] = []
     for b in loader:
         buf.append(b)
         if len(buf) == n:
-            yield _merge_batches(buf)
+            yield len(buf), _merge_batches(buf)
             buf = []
     if buf:
-        yield _merge_batches(buf)
+        yield len(buf), _merge_batches(buf)
+
+
+def _serving_loop(loader, dispatch, consume, *, pipeline_depth: int,
+                  coalesce: int):
+    """Shared pipelined/coalesced serving driver (evaluate_split and
+    evaluate_ensemble): dispatch batch group i+depth before fetching group
+    i's scores, so host staging + relay latency overlap device compute.
+    ``consume(done, batch, fin)`` receives the cumulative LOADER-batch count
+    after the group — progress accounting counts loader batches (matching
+    len(loader)), not dispatch groups."""
+    if pipeline_depth < 1:
+        raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
+    if coalesce < 1:
+        raise ValueError(f"coalesce must be >= 1, got {coalesce}")
+    pending: List[tuple] = []
+    done = 0
+    for nb, batch in _coalesced(loader, coalesce):
+        done += nb
+        fin = dispatch(batch)
+        pending.append((done, batch, fin))
+        if len(pending) > pipeline_depth:
+            consume(*pending.pop(0))
+    for p in pending:
+        consume(*p)
 
 
 def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
@@ -387,7 +414,10 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
             params, flatten_for_forward(batch, train=False,
                                         compact_images=True))
 
-    def consume(batch_idx, batch, finalize):
+    logged = 0
+
+    def consume(done, batch, finalize):
+        nonlocal logged
         B, R, O = batch["tokens"].shape[:3]
         out = finalize()[key].reshape(B, R, O)
         # rows duplicated by the loader's tail padding: scored (fixed
@@ -412,27 +442,22 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
         dense_scores = out[np.arange(B), rid - 1]
         ndcg.observe(dense_scores[valid],
                      np.asarray(batch["gt_relevance"])[valid])
-        if progress_every and batch_idx % progress_every == 0:
+        # progress counts LOADER batches (so the printed count matches
+        # len(loader) regardless of coalescing); one line per consumed
+        # dispatch group whenever a progress_every boundary was crossed
+        if progress_every and done // progress_every > logged:
+            logged = done // progress_every
             cur = {**sparse.retrieve(reset=False),
                    **ndcg.retrieve(reset=False)}
             # a data-sharded process can have seen only padding rows so far
             # (nproc > global batch size): its accumulators are empty
             keys = ("r@1", "r@5", "r@10", "mean", "mrr", "ndcg")
             body = " ".join(f"{k} {cur[k]:.4f}" for k in keys if k in cur)
-            log(f"eval batches: {batch_idx} "
+            log(f"eval batches: {done} "
                 + (body or "(no valid rows on this process yet)"))
 
-    assert pipeline_depth >= 1, pipeline_depth
-    assert coalesce >= 1, coalesce
-    src = loader if coalesce == 1 else _coalesced(loader, coalesce)
-    pending: List[tuple] = []
-    for batch_idx, batch in enumerate(src, start=1):
-        fin = dispatch(batch)
-        pending.append((batch_idx, batch, fin))
-        if len(pending) > pipeline_depth:
-            consume(*pending.pop(0))
-    for p in pending:
-        consume(*p)
+    _serving_loop(loader, dispatch, consume,
+                  pipeline_depth=pipeline_depth, coalesce=coalesce)
     if process_merge and jax.process_count() > 1:
         return M.allreduce_metrics(sparse, ndcg)
     return {**sparse.retrieve(), **ndcg.retrieve()}
@@ -458,25 +483,35 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
                       mode: str = "nsp", chunk_size: int = 256,
                       dtype=jnp.bfloat16, ranks_out: Optional[list] = None,
                       test_split: bool = False, log=print, mesh=None,
-                      gen_prefix: bool = True,
-                      prefix_group: int = 40) -> dict:
+                      gen_prefix: bool = True, prefix_group: int = 40,
+                      prefix_packed: bool = True,
+                      process_merge: bool = False,
+                      pipeline_depth: int = 1, coalesce: int = 1,
+                      progress_every: int = 10) -> dict:
     """Multi-checkpoint ensemble: per-model scores are min-max normalised per
     slate and summed (val.py:151-164 / evaluate.py:108-132). With
-    ``test_split`` the loader yields [1, 100] slates and ranks_out records the
-    EvalAI format (round_id from the data).
+    ``test_split`` the loader yields [B, 1, 100] slates and ranks_out records
+    the EvalAI format (round_id from the data); no metrics are computed (the
+    test split has no ground truth).
 
-    Pipelined like evaluate_split: all ensemble members' passes for batch
-    i+1 are dispatched before batch i's scores are fetched."""
+    Full serving parity with evaluate_split: ``pipeline_depth`` batch groups
+    in flight (all ensemble members' passes for group i+depth dispatched
+    before group i is fetched), ``coalesce`` loader batches per dispatch
+    group, the loader's ``valid`` tail-padding mask excluding duplicated
+    rows from metrics and ranks_out, and ``process_merge`` allgathering the
+    per-process metric statistics under data-sharded multi-host eval."""
     from unimm_tpu.data.dataset import flatten_for_forward
 
     need_lm = mode in ("ll_sum", "ll_mean")
     ev = RankingEvaluator(cfg, chunk_size=_fit_chunk(chunk_size, mesh),
                           dtype=dtype, need_lm=need_lm,
                           need_nsp=not need_lm, mesh=mesh,
-                          gen_prefix=gen_prefix, prefix_group=prefix_group)
+                          gen_prefix=gen_prefix, prefix_group=prefix_group,
+                          prefix_packed=prefix_packed)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     key = "nsp_prob" if mode == "nsp" else mode
+    logged = 0
 
     def dispatch(batch):
         if need_lm:
@@ -485,15 +520,22 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
         flat = flatten_for_forward(batch, train=False, compact_images=True)
         return [ev.score_flat_async(params, flat) for params in param_list]
 
-    def consume(batch_idx, batch, fins):
+    def consume(done, batch, fins):
+        nonlocal logged
         B, R, O = batch["tokens"].shape[:3]
         total = np.zeros((B, R, O), np.float64)
         for fin in fins:
             total += minmax_per_slate(fin()[key].reshape(B, R, O))
+        # rows duplicated by the process-sharded loader's tail padding are
+        # scored (fixed shapes) but never ranked or observed
+        valid = (np.asarray(batch["valid"]) if "valid" in batch
+                 else np.ones(B, bool))
 
         if ranks_out is not None:
             ranks = np.asarray(M.scores_to_ranks(total))
             for b in range(B):
+                if not valid[b]:
+                    continue
                 if test_split:
                     ranks_out.append({
                         "image_id": int(batch["image_id"][b]),
@@ -509,21 +551,21 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
                             "ranks": [int(x) for x in ranks[b, r]],
                         })
         if not test_split:
-            sparse.observe(total, batch["gt_option_inds"])
+            sparse.observe(total[valid],
+                           np.asarray(batch["gt_option_inds"])[valid])
             rid = np.asarray(batch["round_id"]).reshape(B)
-            ndcg.observe(total[np.arange(B), rid - 1],
-                         batch["gt_relevance"])
+            ndcg.observe(total[np.arange(B), rid - 1][valid],
+                         np.asarray(batch["gt_relevance"])[valid])
+        if progress_every and done // progress_every > logged:
+            logged = done // progress_every
+            log(f"eval batches: {done}")
 
-    pending = None
-    for batch_idx, batch in enumerate(loader, start=1):
-        fins = dispatch(batch)
-        if pending is not None:
-            consume(*pending)
-        pending = (batch_idx, batch, fins)
-    if pending is not None:
-        consume(*pending)
+    _serving_loop(loader, dispatch, consume,
+                  pipeline_depth=pipeline_depth, coalesce=coalesce)
     if test_split:
         return {}
+    if process_merge and jax.process_count() > 1:
+        return M.allreduce_metrics(sparse, ndcg)
     return {**sparse.retrieve(), **ndcg.retrieve()}
 
 
@@ -552,10 +594,13 @@ def dump_ranks_merged(ranks: list, path: str):
         return
     from jax.experimental import multihost_utils
 
-    # per-process entry counts differ (disjoint shards, padded tails) —
-    # agree on the widths, pad, allgather, then strip the padding
+    # per-process entry counts AND per-entry option counts can differ
+    # (disjoint shards, padded tails, heterogeneous slates) — agree on the
+    # widths, pad, allgather, then strip the padding using each entry's
+    # own carried length (padding zeros would otherwise masquerade as
+    # rank values; real ranks are 1-based)
     n = len(ranks)
-    o = len(ranks[0]["ranks"]) if ranks else 0
+    o = max((len(e["ranks"]) for e in ranks), default=0)
     dims = np.asarray(multihost_utils.process_allgather(
         np.asarray([n, o], np.int64)))
     n_max, o_max = int(dims[:, 0].max()), int(dims[:, 1].max())
@@ -564,19 +609,21 @@ def dump_ranks_merged(ranks: list, path: str):
             with open(path, "w") as f:
                 json.dump([], f)
         return
-    flat = np.zeros((n_max, 3 + o_max), np.int64)   # [valid, id, round, ranks]
+    # row layout: [valid, image_id, round_id, o_len, ranks...]
+    flat = np.zeros((n_max, 4 + o_max), np.int64)
     for i, e in enumerate(ranks):
         flat[i, 0] = 1
         flat[i, 1] = e["image_id"]
         flat[i, 2] = e["round_id"]
-        flat[i, 3:3 + len(e["ranks"])] = e["ranks"]
+        flat[i, 3] = len(e["ranks"])
+        flat[i, 4:4 + len(e["ranks"])] = e["ranks"]
     g = np.asarray(multihost_utils.process_allgather(flat))
     if jax.process_index() != 0:
         return
-    rows = g.reshape(-1, 3 + o_max)
+    rows = g.reshape(-1, 4 + o_max)
     rows = rows[rows[:, 0] == 1]
     merged = [{"image_id": int(r[1]), "round_id": int(r[2]),
-               "ranks": [int(x) for x in r[3:]]}
+               "ranks": [int(x) for x in r[4:4 + int(r[3])]]}
               for r in rows]
     merged.sort(key=lambda e: (e["image_id"], e["round_id"]))
     with open(path, "w") as f:

@@ -96,17 +96,27 @@ class SparseGTMetrics:
         return s, all_rnd.shape[0]
 
     @staticmethod
-    def metrics_from_stats(s, n: int) -> dict:
-        if not n:
+    def metrics_from_stats(s, n) -> dict:
+        """``n``: observed row count — a scalar (single shard: every row
+        carries every round) or a per-round count vector [R] (multi-host
+        merge over shards that may have observed different round counts;
+        each round's sums are divided by ITS OWN row count, and rounds no
+        shard observed are omitted instead of silently understated)."""
+        n_round = (None if s is None
+                   else np.full(s.shape[1], float(n), np.float64)
+                   if np.ndim(n) == 0 else np.asarray(n, np.float64))
+        if s is None or not n_round.sum():
             return {}
         names = ("r_1", "r_5", "r_10", "mean", "mrr")
         flat_names = ("r@1", "r@5", "r@10", "mean", "mrr")
-        total = float(n) * s.shape[1]
+        total = float(n_round.sum())
         metrics = {k: float(v) / total for k, v in zip(flat_names,
                                                        s.sum(axis=1))}
         for rnd in range(1, s.shape[1] + 1):
+            if not n_round[rnd - 1]:
+                continue
             for k, v in zip(names, s[:, rnd - 1]):
-                metrics[f"{k}_round_{rnd}"] = float(v) / n
+                metrics[f"{k}_round_{rnd}"] = float(v) / n_round[rnd - 1]
         return metrics
 
     def retrieve(self, reset: bool = True):
@@ -177,13 +187,19 @@ def allreduce_metrics(sparse: "SparseGTMetrics", ndcg: "NDCG") -> dict:
     if r_max == 0:
         return {}
     s_pad = np.zeros((5, r_max), np.float64)
+    # per-ROUND row counts (not one scalar): a shard that observed fewer
+    # rounds than r_max contributes zero count (not just zero sums) to the
+    # rounds it never saw, so the merged *_round_r divide by the number of
+    # rows that actually carried round r
+    n_pad = np.zeros(r_max, np.float64)
     if s is not None:
         s_pad[:, :s.shape[1]] = s
-    payload = {"s": s_pad, "n": np.float64(n),
+        n_pad[:s.shape[1]] = float(n)
+    payload = {"s": s_pad, "n": n_pad,
                "ndcg": np.asarray([ndcg._num, float(ndcg._den)], np.float64)}
     g = multihost_utils.process_allgather(payload)
     metrics = SparseGTMetrics.metrics_from_stats(
-        np.asarray(g["s"]).sum(axis=0), float(np.asarray(g["n"]).sum()))
+        np.asarray(g["s"]).sum(axis=0), np.asarray(g["n"]).sum(axis=0))
     num, den = np.asarray(g["ndcg"]).sum(axis=0)
     if den:
         metrics["ndcg"] = float(num / den)

@@ -87,7 +87,9 @@ def online_softmax_xent_tpu(hidden, decoder_weight, decoder_bias, labels,
     h = hidden.reshape(-1, H)
     lab = labels.reshape(-1).astype(jnp.int32)
     M = h.shape[0]
-    BM = min(block_m, max(8, M))
+    # BM must stay 8-aligned (second-to-minor Mosaic tiling) even for odd
+    # small M; the pad_m rows it forces carry label -1 and contribute 0
+    BM = min(block_m, max(8, -(-M // 8) * 8))
     pad_m = -M % BM
     if pad_m:
         h = jnp.pad(h, ((0, pad_m), (0, 0)))
