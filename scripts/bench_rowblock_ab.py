@@ -17,7 +17,12 @@ per head, the [Rw, Rw] row->row bias) — row_block 512 exceeds what the
 16 MB scoped limit can hold with the weights resident, so the sweep tops
 out at 256.
 
-Usage: python scripts/bench_rowblock_ab.py [reps=7] [blocks=64,128,256]
+Usage: python scripts/bench_rowblock_ab.py [reps=7] [blocks=64,128,256] \
+           [workload=pinned|realistic]
+
+The pinned workload is the headline's uniform[58,192) extents; realistic
+is bench.py's second series (ctx 30->250 growth over the 10 rounds — longer
+max contexts, so the K/V-cache traffic per extra grid step is larger).
 """
 
 import dataclasses
@@ -36,6 +41,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from scripts.bench_workload import make_val_batch  # noqa: E402
+from scripts.bench_workload import realistic_ctx_range  # noqa: E402
 from unimm_tpu.config import VilbertConfig  # noqa: E402
 from unimm_tpu.eval.evaluator import _merge_batches  # noqa: E402
 from unimm_tpu.eval.prefix import PrefixScorer  # noqa: E402
@@ -57,11 +63,15 @@ def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     blocks = ([int(x) for x in sys.argv[2].split(",")]
               if len(sys.argv) > 2 else [64, 128, 256])
+    workload = sys.argv[3] if len(sys.argv) > 3 else "pinned"
     cfg = dataclasses.replace(VilbertConfig(), attention_impl="pallas_block")
     params = vilbert.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     B, R, O = 2, 10, 100
-    batches = [make_val_batch(rng, cfg, B, R, O) for _ in range(6)]
+    ctx_fn = (realistic_ctx_range(cfg.max_seq_len)
+              if workload == "realistic" else None)
+    batches = [make_val_batch(rng, cfg, B, R, O, ctx_range_fn=ctx_fn)
+               for _ in range(6)]
     pairs = [_merge_batches(batches[i:i + 2]) for i in range(0, 6, 2)]
     n_dialogs = 6 * B * R / 10
 

@@ -92,6 +92,21 @@ def test_packed_kernel_nondefault_row_block(params):
                                        err_msg=f"rb={rb} {k}")
 
 
+def test_adaptive_row_block_selection():
+    """row_block=0 (default) picks the bin size per group from its context
+    bucket: 64 below the Lcb=192/256 crossover measured on v5e, 256 above,
+    escalating to 256 when an option does not fit a 64-row bin; an explicit
+    row_block pins it (scripts/bench_rowblock_ab.py)."""
+    sc = PrefixScorer(TINY, packed=True)
+    assert sc._rb_for(64, 10) == 64
+    assert sc._rb_for(192, 10) == 64
+    assert sc._rb_for(224, 10) == 256
+    assert sc._rb_for(256, 10) == 256
+    assert sc._rb_for(128, 65) == 256    # giant option: escalate, not fall back
+    fixed = PrefixScorer(TINY, packed=True, row_block=128)
+    assert fixed._rb_for(256, 10) == 128
+
+
 def test_unpacked_truncated_second_copy(params):
     """ctx_end + ans_len > L with packed=False: the W-padded layout (the
     giant-option fallback) keeps exact truncation semantics. The PACKED

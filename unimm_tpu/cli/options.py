@@ -145,6 +145,12 @@ def read_command_line(argv=None) -> dict:
                              'per option (eval/prefix.py pack_option_rows: '
                              'row FLOPs track sum(2*ans_len) instead of '
                              'O*W). 0 = the W-padded layout')
+    parser.add_argument('-prefix_rowblock', default=0, type=int,
+                        help='packed answer-row bin size (rows per fused-'
+                             'kernel grid block). 0 = adaptive per context '
+                             'bucket (64 at Lcb<=192, else 256 — the v5e '
+                             'sweep optimum flips between those buckets; '
+                             'scripts/bench_rowblock_ab.py)')
     parser.add_argument('-eval_pipeline', default=1, type=int,
                         help='val batches kept in flight by the serving '
                              'loop (evaluate_split pipeline_depth); '

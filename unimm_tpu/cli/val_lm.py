@@ -40,7 +40,8 @@ def main(argv=None, mode: str = "ll_sum"):
         ranks_out=ranks, mesh=mesh,
         gen_prefix=bool(params["gen_prefix"]),
         prefix_group=params["prefix_group"],
-        prefix_packed=bool(params["prefix_packed"]), process_merge=sharded,
+        prefix_packed=bool(params["prefix_packed"]),
+        prefix_rowblock=params["prefix_rowblock"], process_merge=sharded,
         pipeline_depth=params["eval_pipeline"],
         coalesce=params["eval_coalesce"])
     name = params["save_name"] or "val_lm"

@@ -44,7 +44,7 @@ class RankingEvaluator:
                  dtype=jnp.bfloat16, need_lm=True, need_nsp=True, mesh=None,
                  length_buckets=True, bucket_div: int = 8,
                  gen_prefix=True, prefix_group: int = 40,
-                 prefix_packed=True):
+                 prefix_packed=True, prefix_rowblock: int = 0):
         """``mesh``: optional jax.sharding.Mesh — eval chunks are dp-sharded
         across it (multi-chip serving; chunk_size must divide the dp axis).
 
@@ -127,7 +127,8 @@ class RankingEvaluator:
             from unimm_tpu.eval.prefix import PrefixScorer
             self._prefix = PrefixScorer(cfg, dtype=dtype, group=prefix_group,
                                         bucket_div=bucket_div, mesh=mesh,
-                                        packed=prefix_packed)
+                                        packed=prefix_packed,
+                                        row_block=prefix_rowblock)
 
     def _label_bucket(self, flat) -> int:
         """Smallest power-of-two label budget covering this batch.
@@ -362,7 +363,7 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                    ranks_out: Optional[list] = None,
                    progress_every: int = 10, log=print, mesh=None,
                    gen_prefix: bool = True, prefix_group: int = 40,
-                   prefix_packed: bool = True,
+                   prefix_packed: bool = True, prefix_rowblock: int = 0,
                    process_merge: bool = False,
                    pipeline_depth: int = 1,
                    coalesce: int = 2) -> dict:
@@ -402,7 +403,8 @@ def evaluate_split(params, cfg: VilbertConfig, loader, *, mode: str,
                           dtype=dtype, need_lm=need_lm,
                           need_nsp=not need_lm, mesh=mesh,
                           gen_prefix=gen_prefix, prefix_group=prefix_group,
-                          prefix_packed=prefix_packed)
+                          prefix_packed=prefix_packed,
+                          prefix_rowblock=prefix_rowblock)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     key = "nsp_prob" if mode == "nsp" else mode
@@ -484,7 +486,7 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
                       dtype=jnp.bfloat16, ranks_out: Optional[list] = None,
                       test_split: bool = False, log=print, mesh=None,
                       gen_prefix: bool = True, prefix_group: int = 40,
-                      prefix_packed: bool = True,
+                      prefix_packed: bool = True, prefix_rowblock: int = 0,
                       process_merge: bool = False,
                       pipeline_depth: int = 1, coalesce: int = 1,
                       progress_every: int = 10) -> dict:
@@ -507,7 +509,8 @@ def evaluate_ensemble(param_list: Sequence, cfg: VilbertConfig, loader, *,
                           dtype=dtype, need_lm=need_lm,
                           need_nsp=not need_lm, mesh=mesh,
                           gen_prefix=gen_prefix, prefix_group=prefix_group,
-                          prefix_packed=prefix_packed)
+                          prefix_packed=prefix_packed,
+                          prefix_rowblock=prefix_rowblock)
     sparse = M.SparseGTMetrics()
     ndcg = M.NDCG()
     key = "nsp_prob" if mode == "nsp" else mode

@@ -163,7 +163,7 @@ class PrefixScorer:
 
     def __init__(self, cfg: VilbertConfig, *, dtype=jnp.bfloat16,
                  group: int = 40, bucket_div: int = 8, mesh=None,
-                 packed: bool = True, row_block: int = 128):
+                 packed: bool = True, row_block: int = 0):
         assert not cfg.in_batch_pairs and not cfg.fast_mode
         self.cfg = cfg
         self.dtype = dtype
@@ -172,7 +172,14 @@ class PrefixScorer:
         # packed answer rows (pack_option_rows): options laid out
         # contiguously in row_block bins instead of each padded to W —
         # row FLOPs track sum(2*ans_len) instead of O*W. Falls back to the
-        # W-padded layout per batch when an option needs > row_block rows.
+        # W-padded layout per group when an option needs > row_block rows.
+        # row_block=0 (default) picks the block size PER GROUP from its
+        # context bucket (_rb_for): the v5e hardware sweep
+        # (scripts/bench_rowblock_ab.py, interleaved, coalesced-pair
+        # workload) measured medians 64: 24.41 / 128: 22.37 / 256: 23.48
+        # d/s at Lcb=192 (pinned extents) but 64: 18.62 / 128: 20.60 /
+        # 256: 20.93 at Lcb=256 (realistic ctx growth) — the optimum flips
+        # with the context bucket, so the size is chosen where Lcb is known.
         self.packed = packed
         self._rb = row_block
         self.mesh = mesh
@@ -193,11 +200,23 @@ class PrefixScorer:
         # halves the per-dispatch tunnel overhead (~30 ms each, CLAUDE.md)
         # and the caches never materialise beyond XLA intermediates
         self._grp_fn = jax.jit(self._group_impl)
-        self._grp_fn_packed = jax.jit(self._group_impl_packed)
+        self._grp_fn_packed = jax.jit(self._group_impl_packed,
+                                      static_argnames="rb")
 
-    def _group_impl_packed(self, params, ctx_batch, rows):
+    def _rb_for(self, Lcb: int, need: int) -> int:
+        """Row-block size for a group with context bucket ``Lcb`` whose
+        largest option needs ``need`` rows. Fixed when the scorer was built
+        with an explicit ``row_block``; otherwise 64 below the Lcb=192/256
+        crossover measured on v5e (see __init__), escalated to 256 when an
+        option does not fit a 64-row bin (packing still beats the W-padded
+        fallback, round-4 A/B)."""
+        if self._rb:
+            return self._rb
+        return 64 if (Lcb <= 192 and need <= 64) else 256
+
+    def _group_impl_packed(self, params, ctx_batch, rows, rb):
         res = self._answer_impl_packed(
-            params, self._context_impl(params, ctx_batch), rows)
+            params, self._context_impl(params, ctx_batch), rows, rb)
         if self._nproc > 1:
             res = {k: jax.lax.with_sharding_constraint(v, self._repl)
                    for k, v in res.items()}
@@ -446,7 +465,7 @@ class PrefixScorer:
         return {"ll_sum": (-nll_sum).reshape(G, O),
                 "ll_mean": (-(nll_sum / jnp.maximum(cnt, 1.0))).reshape(G, O)}
 
-    def _answer_impl_packed(self, params, caches, rows,
+    def _answer_impl_packed(self, params, caches, rows, rb: int,
                             with_head: bool = True):
         """Packed-layout answer pass: every option's rows laid out
         contiguously per slate (pack_option_rows) instead of each option
@@ -468,7 +487,7 @@ class PrefixScorer:
         p = params["bert"]
         G, P = rows["tokens"].shape
         O = rows["ans_len"].shape[1]
-        RB = self._rb
+        RB = rb
         assert P % RB == 0, (P, RB)
         PB = P // RB
         lc = rows["lc"]                                    # [G]
@@ -682,12 +701,12 @@ class PrefixScorer:
         # img_index
         imgs = self._put_images({k: batch[k] for k in self._IMG_KEYS})
 
-        # packed layout eligibility: every option must fit one row block
-        # (real answers are ~2-20 rows; a pathological giant option falls
-        # back to the W-padded layout for the whole batch)
+        # rows each option needs (2*ans_len, truncation-clipped) — packed
+        # layout eligibility is decided PER GROUP below, once the group's
+        # row-block size is known (real answers are ~2-20 rows; a
+        # pathological giant option falls back to the W-padded layout)
         T_all = np.minimum(ce + al, Lx)
         n_all = np.clip(T_all - lc[:, None], 0, Lx).astype(np.int64)
-        packed = self.packed and int(n_all[sel].max()) <= self._rb
 
         # sort by context length, balance groups to ONE shape per call;
         # under a mesh the group axis is dp-sharded, so round it up
@@ -716,10 +735,12 @@ class PrefixScorer:
                 img_index=img_of_slate[g]))
             ctx_batch.update(imgs)
 
-            if packed:
+            need = int(n_all[g].max())
+            rb = self._rb_for(Lcb, need)
+            if self.packed and need <= rb:
                 gs = g.size
                 n = n_all[g]                            # [gs, O] rows/option
-                starts, P = pack_option_rows(n, self._rb)
+                starts, P = pack_option_rows(n, rb)
                 reps = n.ravel()
                 oid = np.repeat(
                     np.tile(np.arange(O, dtype=np.int64), gs), reps)
@@ -746,7 +767,8 @@ class PrefixScorer:
                     ans_len=al[g].astype(np.int32),
                     image_mask=imask_h[img_of_slate[g]]))
                 outs.append((g[:gs - pad] if pad else g, pad,
-                             self._grp_fn_packed(params, ctx_batch, rows)))
+                             self._grp_fn_packed(params, ctx_batch, rows,
+                                                 rb=rb)))
                 continue
 
             need = max(1, int(rows_max[g].max()))
