@@ -98,13 +98,13 @@ def bench(name):
     #   <variant>+sgd     — plain SGD bounds the whole AdamW update cost
     #   <variant>+mubf16  — bf16 first moment (halved mu HBM traffic)
     # spec grammar: <variant>[@<micro>x<k>][+<opt>]
-    #   +sgd / +mubf16 / +adamw1 / +flat1 — optimizer ablations
+    #   +sgd / +mubf16 / +adamw1 / +flat1 / +fused — optimizer ablations
     #   @<micro>x<k> — k accumulation micro-steps of size micro
     #     (optax.MultiSteps) per effective batch, e.g. 'noremat@120x2'
     #     trades remat's ~33% recompute for accumulator traffic
     label = name
     opt_kind = "adamw"
-    for suffix in ("+sgd", "+mubf16", "+adamw1", "+flat1"):
+    for suffix in ("+sgd", "+mubf16", "+adamw1", "+flat1", "+fused"):
         if name.endswith(suffix):
             name, opt_kind = name[: -len(suffix)], suffix[1:]
             break
@@ -149,6 +149,8 @@ def bench(name):
         tx = optax.flatten(optax.adamw(
             optim.warmup_linear_nonzero(2e-5, ocfg),
             b1=0.9, b2=0.999, eps=1e-6, weight_decay=0.01))
+    elif opt_kind == "fused":      # flat-moment fused Pallas update kernel
+        tx = optim.make_fused_optimizer(params, ocfg)
     else:
         tx = optim.make_optimizer(params, ocfg)
     name = label

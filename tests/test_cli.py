@@ -108,6 +108,33 @@ def test_train_cli_overfit(cli_world):
     assert "native" in files
 
 
+def test_train_cli_fused_adamw(cli_world):
+    """-fused_adamw 1: the flat-moment fused update kernel drives the real
+    CLI loop, writes a reference-format .ckpt with moments (fused_layout
+    export path), and -continue restores them (fused graft path)."""
+    from unimm_tpu.cli import train
+    os.chdir(cli_world["root"])
+    state = train.main(_argv(cli_world, [
+        "-overfit", "-num_epochs", "1", "-batch_size", "12",
+        "-sequences_per_image", "6", "-num_negative_samples", "1",
+        "-eval_every_epochs", "1", "-fused_adamw", "1",
+        "-save_name", "t_fused"]))
+    assert int(np.asarray(state["step"])) > 0
+    ckpt_dir = os.path.join(cli_world["root"], "ckpt", "t_fused")
+    ckpts = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")]
+    assert ckpts
+    state2 = train.main(_argv(cli_world, [
+        "-overfit", "-num_epochs", "1", "-batch_size", "12",
+        "-sequences_per_image", "6", "-num_negative_samples", "1",
+        "-eval_every_epochs", "1", "-fused_adamw", "1",
+        "-continue", "-start_path", os.path.join(ckpt_dir, ckpts[0]),
+        "-save_name", "t_fused2"]))
+    opt = state2["opt_state"]
+    inner = opt.inner_opt_state if hasattr(opt, "inner_opt_state") else opt
+    assert type(inner).__name__ == "FusedAdamState"
+    assert int(np.asarray(state2["step"])) > int(np.asarray(state["step"]))
+
+
 def test_train_then_val_from_checkpoint(cli_world):
     from unimm_tpu.cli import val
     os.chdir(cli_world["root"])

@@ -214,3 +214,198 @@ def test_fused_grouped_adamw_equals_multi_transform():
                     jax.tree_util.tree_leaves(p_new)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-7)
+
+
+def test_fused_flat_kernel_matches_grouped():
+    """The flat-state fused AdamW (make_fused_optimizer + the single-pass
+    Pallas kernel, interpret mode on CPU) must match make_optimizer step
+    for step — same moments, bias correction, group lr/wd, decay — both
+    plain and wrapped in optax.MultiSteps."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unimm_tpu.train import optim as O
+
+    rng = np.random.default_rng(1)
+    params = {
+        "bert": {"embeddings": {"word_embeddings":
+                                jnp.asarray(rng.normal(size=(50, 8)),
+                                            jnp.float32)},
+                 "encoder": {"layer": {"0": {"attention": {"self": {
+                     "query": {"kernel": jnp.asarray(
+                         rng.normal(size=(8, 8)), jnp.float32),
+                         "bias": jnp.zeros(8)}}}}}}},
+        "v_pooler": {"dense": {"kernel": jnp.asarray(
+            rng.normal(size=(8, 8)), jnp.float32),
+            "bias": jnp.zeros(8)}},
+    }
+    lang = ["bert.embeddings.word_embeddings.weight",
+            "bert.encoder.layer.0.attention.self.query.weight",
+            "bert.encoder.layer.0.attention.self.query.bias"]
+    for k in (1, 3):
+        cfg = O.OptimConfig(lr=1e-3, image_lr=5e-4, warmup_steps=3,
+                            t_total=50, weight_decay=0.01, batch_multiply=k)
+        tx_ref = O.make_optimizer(params, cfg, lang)
+        tx_fused = O.make_fused_optimizer(params, cfg, lang)
+        s_ref, s_f = tx_ref.init(params), tx_fused.init(params)
+        p_ref = p_f = params
+        for step in range(6):
+            g = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    np.random.default_rng(step).normal(size=p.shape),
+                    p.dtype), params)
+            u_ref, s_ref = tx_ref.update(g, s_ref, p_ref)
+            u_f, s_f = tx_fused.update(g, s_f, p_f)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_f = optax.apply_updates(p_f, u_f)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"batch_multiply={k}")
+
+
+def test_fused_layout_roundtrip():
+    """flatten_group/unflatten_groups are exact inverses over the layout."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unimm_tpu.train import optim as O
+
+    rng = np.random.default_rng(2)
+    params = {"a": {"x": jnp.asarray(rng.normal(size=(7, 5)), jnp.float32),
+                    "bias": jnp.asarray(rng.normal(size=(11,)), jnp.float32)},
+              "b": {"LayerNorm": {"scale": jnp.ones(4)},
+                    "kernel": jnp.asarray(rng.normal(size=(3, 3)),
+                                          jnp.float32)}}
+    layout = O.fused_layout(params, None)   # all-lang fallback
+    flats = {lab: O.flatten_group(params, layout, lab)
+             for lab in O.GROUPS if layout["n"][lab]}
+    back = O.unflatten_groups(flats, layout, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_ckpt_roundtrip_and_cross_compat():
+    """Fused-state checkpoints interoperate with the grouped optimizer
+    through the reference 4-key .ckpt format: fused -> file -> fused
+    restores moments + counts exactly, and fused -> file -> GROUPED lands
+    the same moments in the ScaleByAdamState tree (the torch format is the
+    common currency, reference train.py:371-386)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unimm_tpu import checkpoint as C
+    from unimm_tpu.config import VilbertConfig
+    from unimm_tpu.models import vilbert
+    from unimm_tpu.train import optim as O
+
+    from tests.test_model import TINY
+
+    params = vilbert.init_params(jax.random.PRNGKey(3), TINY)
+    cfg = O.OptimConfig(lr=1e-3, image_lr=5e-4, warmup_steps=3, t_total=50)
+    tx_f = O.make_fused_optimizer(params, cfg)
+    layout = O.fused_layout(params, None)
+    s = tx_f.init(params)
+    p = params
+    for step in range(2):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                np.random.default_rng(step).normal(size=x.shape), x.dtype),
+            params)
+        u, s = tx_f.update(g, s, p)
+        import optax
+        p = optax.apply_updates(p, u)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "visdial_dialog_encoder_2.ckpt")
+        C.save_reference_ckpt(path, jax.device_get(p), 2,
+                              opt_state=jax.device_get(s),
+                              fused_layout=layout)
+
+        # fused -> fused
+        p2, s2, it, _ = C.load_reference_train_state(
+            path, jax.device_get(params), tx_f, fused_layout=layout)
+        assert it == 2
+        for lab in s.mu:
+            np.testing.assert_allclose(np.asarray(s2.mu[lab]),
+                                       np.asarray(s.mu[lab]), atol=1e-7)
+            np.testing.assert_allclose(np.asarray(s2.nu[lab]),
+                                       np.asarray(s.nu[lab]), atol=1e-7)
+        assert int(np.asarray(s2.count)) == 2
+
+        # fused -> grouped (cross-compat through the torch format)
+        tx_g = O.make_optimizer(params, cfg)
+        _, sg, _, _ = C.load_reference_train_state(
+            path, jax.device_get(params), tx_g)
+        mu_g, nu_g, cnt = C.extract_adam_moments(sg, params)
+        mu_f, nu_f, _ = C.extract_adam_moments(s, params,
+                                               fused_layout=layout)
+        assert cnt == 2
+        for a, b in zip(jax.tree_util.tree_leaves(mu_g),
+                        jax.tree_util.tree_leaves(mu_f)):
+            np.testing.assert_allclose(a, b, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(nu_g),
+                        jax.tree_util.tree_leaves(nu_f)):
+            np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_fused_train_step_matches_grouped():
+    """One full donated train step (fwd+bwd+update in one jit) on the fused
+    optimizer equals the grouped optimizer's step bit-for-bit in fp32
+    (dropout zeroed; same grads feed mathematically identical updates)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unimm_tpu.train import optim as O, step as tstep
+    from tests.test_model import TINY, make_batch
+
+    cfg = dataclasses.replace(
+        TINY, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0,
+        head_dropout_prob=0.0)
+    from unimm_tpu.models import vilbert
+    params = vilbert.init_params(jax.random.PRNGKey(4), cfg)
+    ocfg = O.OptimConfig(lr=1e-3, image_lr=5e-4, warmup_steps=3, t_total=50)
+    rng = np.random.default_rng(5)
+    B, L = 4, cfg.max_seq_len
+    batch = make_batch(rng, cfg, B=B)
+    labels = np.full((B, L), -1, np.int32)
+    labels[:, 12:18] = rng.integers(0, cfg.vocab_size, (B, 6))
+    batch.update({
+        "mlm_labels": jnp.asarray(labels),
+        "lm_weight": jnp.asarray((labels != -1).astype(np.float32)),
+        "next_sentence_label": jnp.asarray(rng.integers(0, 2, B)),
+        "image_target": jnp.asarray(rng.dirichlet(
+            np.ones(cfg.v_target_size),
+            (B, cfg.max_regions)).astype(np.float32)),
+        "image_label": jnp.asarray(rng.choice([-1, 1],
+                                              (B, cfg.max_regions))),
+    })
+
+    outs = {}
+    for kind, tx in (("grouped", O.make_optimizer(params, ocfg)),
+                     ("fused", O.make_fused_optimizer(params, ocfg))):
+        step_fn = tstep.make_train_step(cfg, tx, dtype=jnp.float32,
+                                        donate=False)
+        state = tstep.init_state(params, tx, seed=0)
+        for _ in range(2):
+            state, metrics = step_fn(state, batch)
+        outs[kind] = (jax.device_get(state["params"]),
+                      float(np.asarray(metrics["loss"])))
+    assert np.isfinite(outs["fused"][1])
+    for a, b in zip(jax.tree_util.tree_leaves(outs["grouped"][0]),
+                    jax.tree_util.tree_leaves(outs["fused"][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
