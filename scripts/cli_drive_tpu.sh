@@ -10,7 +10,7 @@
 # data; the point is the full loop executes).
 #
 # Usage: bash scripts/cli_drive_tpu.sh [workdir=/tmp/cli_drive]
-set -e
+set -e -o pipefail
 W=${1:-/tmp/cli_drive}
 D=$W/data
 REPO=$(cd "$(dirname "$0")/.." && pwd)
@@ -97,7 +97,18 @@ test -f $W/ckpt/drive/visdial_dialog_encoder_2.ckpt
 # length buckets, fused answer + label-head kernels are all defaults)
 python -m unimm_tpu.cli.val_lm $COMMON \
   -start_path $W/ckpt/drive/visdial_dialog_encoder_2.ckpt \
-  -val_dis 0 -save_name drive_val
+  -val_dis 0 -save_name drive_val | tee $W/drive_val.log
+
+# phase 2b: quality gate ON HARDWARE — the full convert->eval->assert loop
+# of scripts/quality_gate.py (reference-.ckpt conversion, production val_lm
+# eval, metric assertions) driven against a golden synthesized from phase
+# 2's own metrics (print_metrics emits the reference's "name: value" log
+# format). The real invocation swaps in the released checkpoint + the
+# committed /root/reference/.../val_lm.log golden; this stage proves the
+# gate's code path end-to-end on TPU every drive.
+python $REPO/scripts/quality_gate.py --golden $W/drive_val.log $COMMON \
+  -start_path $W/ckpt/drive/visdial_dialog_encoder_2.ckpt \
+  -val_dis 0 -save_name drive_gate
 
 # phase-2 dense-annotation finetuning from the phase-1 checkpoint (the
 # reference's two-stage recipe; one step -- checkpoints save at the

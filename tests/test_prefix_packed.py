@@ -75,10 +75,11 @@ def test_packed_matches_flat_kernel_path(params):
 
 
 def test_packed_kernel_nondefault_row_block(params):
-    """Non-default ``row_block`` on the fused-kernel path: small blocks make
-    options span several kernel grid steps per slate (the default 128 fits a
-    whole tiny slate in one), exercising the blocked row->row bias across
-    block boundaries (scripts/bench_rowblock_ab.py sweeps this on TPU)."""
+    """Explicit small ``row_block`` on the fused-kernel path: small blocks
+    make options span several kernel grid steps per slate (the adaptive
+    default picks >=64, fitting a whole tiny slate in one), exercising the
+    blocked row->row bias across block boundaries
+    (scripts/bench_rowblock_ab.py sweeps this on TPU)."""
     cfg = TINY.replace(attention_impl="pallas_block")
     batch = make_shared_batch(np.random.default_rng(15), TINY, B=2, R=2, O=6)
     ref = _flat_scores(params, batch)
