@@ -216,8 +216,8 @@ def test_fused_grouped_adamw_equals_multi_transform():
                                    atol=1e-7)
 
 
-def test_fused_flat_kernel_matches_grouped():
-    """The flat-state fused AdamW (make_fused_optimizer + the single-pass
+def test_fused_kernel_matches_grouped():
+    """The fused per-leaf AdamW (make_fused_optimizer + the single-pass
     Pallas kernel, interpret mode on CPU) must match make_optimizer step
     for step — same moments, bias correction, group lr/wd, decay — both
     plain and wrapped in optax.MultiSteps."""
@@ -267,27 +267,27 @@ def test_fused_flat_kernel_matches_grouped():
                                        err_msg=f"batch_multiply={k}")
 
 
-def test_fused_layout_roundtrip():
-    """flatten_group/unflatten_groups are exact inverses over the layout."""
-    import numpy as np
+def test_fused_state_is_grouped_state_shape():
+    """The fused optimizer's state is LITERALLY the grouped optimizer's
+    state tree — (ScaleByAdamState, ScaleByScheduleState) — so every
+    checkpoint path (graft, extract, Orbax native, fused<->grouped
+    resume) works unchanged."""
     import jax
-    import jax.numpy as jnp
+    import optax
 
+    from unimm_tpu.models import vilbert
     from unimm_tpu.train import optim as O
+    from tests.test_model import TINY
 
-    rng = np.random.default_rng(2)
-    params = {"a": {"x": jnp.asarray(rng.normal(size=(7, 5)), jnp.float32),
-                    "bias": jnp.asarray(rng.normal(size=(11,)), jnp.float32)},
-              "b": {"LayerNorm": {"scale": jnp.ones(4)},
-                    "kernel": jnp.asarray(rng.normal(size=(3, 3)),
-                                          jnp.float32)}}
-    layout = O.fused_layout(params, None)   # all-lang fallback
-    flats = {lab: O.flatten_group(params, layout, lab)
-             for lab in O.GROUPS if layout["n"][lab]}
-    back = O.unflatten_groups(flats, layout, params)
-    for a, b in zip(jax.tree_util.tree_leaves(params),
-                    jax.tree_util.tree_leaves(back)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    params = vilbert.init_params(jax.random.PRNGKey(0), TINY)
+    cfg = O.OptimConfig(lr=1e-3, image_lr=5e-4)
+    s_f = O.make_fused_optimizer(params, cfg).init(params)
+    s_g = O.make_optimizer(params, cfg).init(params)
+    assert isinstance(s_f[0], optax.ScaleByAdamState)
+    assert type(s_f[1]).__name__ == "ScaleByScheduleState"
+    # same treedef as the grouped chain's state (moments leaf-shaped)
+    assert (jax.tree_util.tree_structure(s_f)
+            == jax.tree_util.tree_structure(s_g))
 
 
 def test_fused_ckpt_roundtrip_and_cross_compat():
@@ -313,7 +313,6 @@ def test_fused_ckpt_roundtrip_and_cross_compat():
     params = vilbert.init_params(jax.random.PRNGKey(3), TINY)
     cfg = O.OptimConfig(lr=1e-3, image_lr=5e-4, warmup_steps=3, t_total=50)
     tx_f = O.make_fused_optimizer(params, cfg)
-    layout = O.fused_layout(params, None)
     s = tx_f.init(params)
     p = params
     for step in range(2):
@@ -328,27 +327,28 @@ def test_fused_ckpt_roundtrip_and_cross_compat():
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "visdial_dialog_encoder_2.ckpt")
         C.save_reference_ckpt(path, jax.device_get(p), 2,
-                              opt_state=jax.device_get(s),
-                              fused_layout=layout)
+                              opt_state=jax.device_get(s))
 
         # fused -> fused
         p2, s2, it, _ = C.load_reference_train_state(
-            path, jax.device_get(params), tx_f, fused_layout=layout)
+            path, jax.device_get(params), tx_f)
         assert it == 2
-        for lab in s.mu:
-            np.testing.assert_allclose(np.asarray(s2.mu[lab]),
-                                       np.asarray(s.mu[lab]), atol=1e-7)
-            np.testing.assert_allclose(np.asarray(s2.nu[lab]),
-                                       np.asarray(s.nu[lab]), atol=1e-7)
-        assert int(np.asarray(s2.count)) == 2
+        for a, b in zip(jax.tree_util.tree_leaves(s2[0].mu),
+                        jax.tree_util.tree_leaves(s[0].mu)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(s2[0].nu),
+                        jax.tree_util.tree_leaves(s[0].nu)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+        assert int(np.asarray(s2[0].count)) == 2
 
         # fused -> grouped (cross-compat through the torch format)
         tx_g = O.make_optimizer(params, cfg)
         _, sg, _, _ = C.load_reference_train_state(
             path, jax.device_get(params), tx_g)
         mu_g, nu_g, cnt = C.extract_adam_moments(sg, params)
-        mu_f, nu_f, _ = C.extract_adam_moments(s, params,
-                                               fused_layout=layout)
+        mu_f, nu_f, _ = C.extract_adam_moments(s, params)
         assert cnt == 2
         for a, b in zip(jax.tree_util.tree_leaves(mu_g),
                         jax.tree_util.tree_leaves(mu_f)):

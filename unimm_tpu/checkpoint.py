@@ -201,32 +201,19 @@ def load_reference_ckpt(path: str, params_template):
     return params, iter_id, n, skipped
 
 
-def _graft_opt_state(node, mu_full, nu_full, upd_count, sched_count,
-                     fused_layout=None):
+def _graft_opt_state(node, mu_full, nu_full, upd_count, sched_count):
     """Rebuild an optax state pytree with restored Adam moments/counters.
 
     Replaces every ScaleByAdamState's (count, mu, nu), every
-    ScaleByScheduleState count (the LR-schedule position), MultiSteps'
-    gradient_step, and every FusedAdamState (flat-moment fused AdamW —
-    requires ``fused_layout`` from optim.fused_layout to re-flatten the
-    per-leaf moment trees); leaves masked-out group slots (MaskedNode) and
-    everything else untouched."""
+    ScaleByScheduleState count (the LR-schedule position), and MultiSteps'
+    gradient_step; leaves masked-out group slots (MaskedNode) and everything
+    else untouched. Covers the fused per-leaf AdamW too — its state IS a
+    (ScaleByAdamState, ScaleByScheduleState) tuple (optim.
+    make_fused_optimizer)."""
     import optax
 
     def rec(n):
         name = type(n).__name__
-        if name == "FusedAdamState":
-            from unimm_tpu.train import optim as O
-            if fused_layout is None:
-                raise ValueError(
-                    "grafting a FusedAdamState needs fused_layout "
-                    "(optim.fused_layout(params, language_weights))")
-            return type(n)(
-                count=jax.numpy.asarray(upd_count, n.count.dtype),
-                mu={lab: O.flatten_group(mu_full, fused_layout, lab)
-                    for lab in n.mu},
-                nu={lab: O.flatten_group(nu_full, fused_layout, lab)
-                    for lab in n.nu})
         if isinstance(n, optax.ScaleByAdamState):
             def graft(tmpl, full):
                 if isinstance(tmpl, dict):
@@ -263,7 +250,7 @@ def _graft_opt_state(node, mu_full, nu_full, upd_count, sched_count,
 
 
 def load_reference_train_state(path: str, params_template, tx,
-                               batch_multiply: int = 1, fused_layout=None):
+                               batch_multiply: int = 1):
     """Full ``-continue`` restore from a reference-format .ckpt: model weights
     + AdamW exp_avg/exp_avg_sq/step + LR-schedule position
     (/root/reference/train.py:371-386).
@@ -325,16 +312,15 @@ def load_reference_train_state(path: str, params_template, tx,
 
     sched_count = iter_id // max(1, batch_multiply)
     opt_state = _graft_opt_state(opt_state, mu_full, nu_full,
-                                 step_val, sched_count,
-                                 fused_layout=fused_layout)
+                                 step_val, sched_count)
     return params, opt_state, iter_id, n
 
 
-def extract_adam_moments(opt_state, params, fused_layout=None):
+def extract_adam_moments(opt_state, params):
     """Merge the per-group ScaleByAdamState mu/nu back into full
     params-shaped host trees. Returns (mu, nu, count) — the inverse of the
-    grafting in load_reference_train_state. FusedAdamState (flat-moment
-    fused AdamW) is unflattened through ``fused_layout``."""
+    grafting in load_reference_train_state. Covers the fused per-leaf
+    AdamW too (its state is a plain ScaleByAdamState tuple)."""
     import optax
 
     mu_full = jax.tree_util.tree_map(lambda x: np.zeros(x.shape, np.float32),
@@ -350,23 +336,8 @@ def extract_adam_moments(opt_state, params, fused_layout=None):
         elif not isinstance(part, optax.MaskedNode):
             full[...] = np.asarray(jax.device_get(part), np.float32)
 
-    def fill_flat(full, flat_by_label):
-        from unimm_tpu.train import optim as O
-        host = {lab: np.asarray(jax.device_get(v), np.float32)
-                for lab, v in flat_by_label.items()}
-        fill(full, O.unflatten_groups(host, fused_layout, params))
-
     def rec(n):
         nonlocal count
-        if type(n).__name__ == "FusedAdamState":
-            if fused_layout is None:
-                raise ValueError(
-                    "extracting a FusedAdamState needs fused_layout "
-                    "(optim.fused_layout(params, language_weights))")
-            count = max(count, int(np.asarray(jax.device_get(n.count))))
-            fill_flat(mu_full, n.mu)
-            fill_flat(nu_full, n.nu)
-            return
         if isinstance(n, optax.ScaleByAdamState):
             count = max(count, int(np.asarray(jax.device_get(n.count))))
             fill(mu_full, n.mu)
@@ -388,7 +359,7 @@ def extract_adam_moments(opt_state, params, fused_layout=None):
 
 def save_reference_ckpt(path: str, params, iter_id: int = 0, opt_state=None,
                         lang_set=None, lr: float = 2e-5,
-                        image_lr: float = 2e-5, fused_layout=None):
+                        image_lr: float = 2e-5):
     """Write a reference-format checkpoint dict (train.py:504-505 layout).
 
     With ``opt_state`` the torch AdamW ``optimizer_state_dict`` (one param
@@ -403,8 +374,7 @@ def save_reference_ckpt(path: str, params, iter_id: int = 0, opt_state=None,
     blob = {"model_state_dict": sd, "iter_id": iter_id}
 
     if opt_state is not None:
-        mu, nu, count = extract_adam_moments(opt_state, params,
-                                             fused_layout=fused_layout)
+        mu, nu, count = extract_adam_moments(opt_state, params)
         mu_t = to_torch_state_dict(mu, prefix="bert_pretrained.",
                                    include_tied_decoder=False)
         nu_t = to_torch_state_dict(nu, prefix="bert_pretrained.",

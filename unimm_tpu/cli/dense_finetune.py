@@ -159,12 +159,9 @@ def main(argv=None):
     ocfg = optim.OptimConfig(lr=params["lr"], image_lr=params["image_lr"],
                              batch_multiply=params["batch_multiply"],
                              mu_dtype=params["adam_mu_dtype"] or None)
-    flayout = None
-    if params["fused_adamw"]:
-        tx = optim.make_fused_optimizer(model_params, ocfg, lang)
-        flayout = optim.fused_layout(model_params, lang)
-    else:
-        tx = optim.make_optimizer(model_params, ocfg, lang)
+    make_tx = (optim.make_fused_optimizer if params["fused_adamw"]
+               else optim.make_optimizer)
+    tx = make_tx(model_params, ocfg, lang)
     state = {"params": model_params, "opt_state": tx.init(model_params),
              "step": jnp.zeros((), jnp.int32),
              "rng": jax.random.PRNGKey(params["seed"])}
@@ -172,7 +169,7 @@ def main(argv=None):
     if resume_path:
         host_params, host_opt, iter0, n = C.load_reference_train_state(
             resume_path, jax.device_get(state["params"]), tx,
-            batch_multiply=params["batch_multiply"], fused_layout=flayout)
+            batch_multiply=params["batch_multiply"])
         print(f"dense -continue from {resume_path}: {n} tensors, "
               f"iter_id {iter0}, Adam moments + schedule restored")
         host_state = dict(state, params=host_params, opt_state=host_opt,
@@ -209,8 +206,7 @@ def main(argv=None):
                 host_state["params"], it,
                 opt_state=host_state["opt_state"],
                 lang_set=C.language_param_set(lang) if lang else set(),
-                lr=params["lr"], image_lr=params["image_lr"],
-                fused_layout=flayout)
+                lr=params["lr"], image_lr=params["image_lr"])
             viz.save()  # persist the plot env at ckpt time (dense:329)
 
     last_saved = start_iter

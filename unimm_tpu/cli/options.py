@@ -123,13 +123,14 @@ def read_command_line(argv=None) -> dict:
                              'halves mu HBM traffic in the optimizer update '
                              '(default: float32, exact reference parity)')
     parser.add_argument('-fused_adamw', default=0, type=int,
-                        help='1 = flat-moment fused AdamW update kernel '
-                             '(ops/pallas_optim.py): one VMEM-resident pass '
-                             'per (lr, wd) group instead of the optax '
-                             'chain\'s separate passes; numerically matches '
-                             'the default grouped AdamW step for step '
-                             '(tests/test_optim.py). mu stays fp32 '
-                             '(-adam_mu_dtype is ignored under 1)')
+                        help='1 = fused per-leaf Pallas AdamW update kernel '
+                             '(ops/pallas_optim.py): numerically identical '
+                             'to the default grouped AdamW, checkpoint-'
+                             'compatible both directions. Measured SLOWER '
+                             'at flagship size (528 vs 510 ms/step — kernel '
+                             'launch overhead, ROADMAP round-5 optimizer '
+                             'table); kept for study/smaller models. mu '
+                             'stays fp32 (-adam_mu_dtype ignored under 1)')
     parser.add_argument('-label_overflow_policy', default='dense',
                         choices=['dense', 'error', 'allow'],
                         help='gathered-MLM label-budget overflow handling: '

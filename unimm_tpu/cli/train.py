@@ -105,12 +105,9 @@ def main(argv=None):
     ocfg = optim.OptimConfig(lr=params["lr"], image_lr=params["image_lr"],
                              batch_multiply=params["batch_multiply"],
                              mu_dtype=params["adam_mu_dtype"] or None)
-    flayout = None
-    if params["fused_adamw"]:
-        tx = optim.make_fused_optimizer(model_params, ocfg, lang)
-        flayout = optim.fused_layout(model_params, lang)
-    else:
-        tx = optim.make_optimizer(model_params, ocfg, lang)
+    make_tx = (optim.make_fused_optimizer if params["fused_adamw"]
+               else optim.make_optimizer)
+    tx = make_tx(model_params, ocfg, lang)
     state = tstep.init_state(model_params, tx, seed=params["seed"])
 
     start_iter = 0
@@ -123,8 +120,7 @@ def main(argv=None):
             # moments + schedule position, reference train.py:371-386)
             host_params, host_opt, iter0, n = C.load_reference_train_state(
                 resume_path, jax.device_get(state["params"]), tx,
-                batch_multiply=params["batch_multiply"],
-                fused_layout=flayout)
+                batch_multiply=params["batch_multiply"])
             print(f"-continue from reference .ckpt: {n} tensors, "
                   f"iter_id {iter0}, Adam moments + schedule restored")
             host_state = dict(state, params=host_params, opt_state=host_opt,
@@ -233,8 +229,7 @@ def main(argv=None):
                 host_state["params"], iter_id,
                 opt_state=host_state["opt_state"],
                 lang_set=C.language_param_set(lang) if lang else set(),
-                lr=params["lr"], image_lr=params["image_lr"],
-                fused_layout=flayout)
+                lr=params["lr"], image_lr=params["image_lr"])
             viz.save()  # persist the plot env at ckpt time (train.py:506)
 
     # -auto_resume completes the ORIGINAL epoch budget (an identical

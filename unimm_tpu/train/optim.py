@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Dict, NamedTuple, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import optax
@@ -132,109 +132,43 @@ def load_language_weights(path: str):
 
 
 # ---------------------------------------------------------------------------
-# fused flat-state AdamW (ops/pallas_optim.py)
+# fused per-leaf AdamW (ops/pallas_optim.py)
 # ---------------------------------------------------------------------------
 
-GROUPS = ("lang_decay", "lang_nodecay", "img_decay", "img_nodecay")
-_PAD_Q = 8192        # pallas_optim operates on [rows, 1024] fp32, rows % 8
+def make_fused_optimizer(params, cfg: OptimConfig,
+                         language_weights: Optional[Sequence[str]] = None):
+    """Grouped AdamW whose whole update is one fused Pallas pass per leaf
+    (ops/pallas_optim.py::adamw_update_leaf): read (g, p, mu, nu) tiles,
+    write (update, mu', nu') tiles — no HBM round-trips between the moment
+    update, bias correction and step computation the way the optax chain's
+    separate fused passes have. Numerically matches ``make_optimizer`` step
+    for step (same op order — tests/test_optim.py::test_fused_*).
 
+    The state is LITERALLY the grouped optimizer's state tree —
+    ``(optax.ScaleByAdamState(count, mu_tree, nu_tree),
+    optax.ScaleByScheduleState(count))`` — so every checkpoint path
+    (reference .ckpt graft/extract, Orbax native, -continue/-auto_resume)
+    works unchanged and fused <-> grouped resumes are transparent. Leaves
+    keep natural shapes: the flat-vector design is a measured dead end
+    through the axon AOT compiler (see the pallas_optim module docstring).
+    Wrap in optax.MultiSteps exactly like make_optimizer (done here when
+    cfg.batch_multiply > 1)."""
+    import jax.numpy as jnp
 
-class FusedAdamState(NamedTuple):
-    """Flat-moment AdamW state: one fp32 vector per (lr, wd) group.
-
-    The leaf->offset layout is NOT stored here (pytree leaves must be
-    arrays); it is a pure function of (params, language set) —
-    ``fused_layout`` — recomputed wherever conversion to/from per-leaf
-    moments is needed (checkpoint graft/extract)."""
-    count: Any
-    mu: Dict[str, Any]
-    nu: Dict[str, Any]
-
-
-def _get_path(tree, path):
-    for k in path:
-        tree = tree[k]
-    return tree
-
-
-def fused_layout(params, language_weights: Optional[Sequence[str]] = None):
-    """Deterministic flat layout: {label: [(path, offset, size, shape)...]}
-    plus the zero-padded per-label totals (multiples of the kernel tile).
-    Iterates dict keys SORTED so the layout depends only on the param tree
-    structure, not insertion order."""
     if language_weights is None:
         lang_set = {ckpt.torch_name(p)
                     for p, _ in ckpt.iter_param_items(params)}
     else:
         lang_set = ckpt.language_param_set(list(language_weights))
-    segs = {g: [] for g in GROUPS}
-    off = {g: 0 for g in GROUPS}
 
-    def rec(node, path):
-        if isinstance(node, dict):
-            for k in sorted(node):
-                rec(node[k], path + (k,))
-            return
-        lab = ckpt.group_label(path, lang_set)
-        segs[lab].append((path, off[lab], int(node.size), tuple(node.shape)))
-        off[lab] += int(node.size)
+    def label_tree(tree):
+        def rec(node, path):
+            if isinstance(node, dict):
+                return {k: rec(v, path + (k,)) for k, v in node.items()}
+            return ckpt.group_label(path, lang_set)
+        return rec(tree, ())
 
-    rec(params, ())
-    n = {g: (-(-off[g] // _PAD_Q) * _PAD_Q if off[g] else 0) for g in GROUPS}
-    return {"segs": segs, "n": n}
-
-
-def flatten_group(tree, layout, label):
-    """Concatenate a group's leaves (layout order) into one padded fp32
-    vector. Works on jnp or np trees (returns the input family's arrays)."""
-    import jax.numpy as jnp
-    segs = layout["segs"][label]
-    parts = [jnp.asarray(_get_path(tree, p)).astype(jnp.float32).reshape(-1)
-             for p, _, _, _ in segs]
-    v = jnp.concatenate(parts)
-    n = layout["n"][label]
-    if v.shape[0] < n:
-        v = jnp.concatenate([v, jnp.zeros(n - v.shape[0], jnp.float32)])
-    return v
-
-
-def unflatten_groups(flat_by_label, layout, params_template):
-    """Inverse of flatten_group: slice each leaf back out of its group's
-    flat vector, shaped like ``params_template``."""
-    _index_layout(layout)
-
-    def rec(node, path):
-        if isinstance(node, dict):
-            return {k: rec(v, path + (k,)) for k, v in node.items()}
-        lab, off, size, shape = layout["_by_path"][path]
-        return flat_by_label[lab][off:off + size].reshape(shape)
-
-    return rec(params_template, ())
-
-
-def _index_layout(layout):
-    if "_by_path" in layout:
-        return
-    by_path = {}
-    for lab, segs in layout["segs"].items():
-        for path, off, size, shape in segs:
-            by_path[path] = (lab, off, size, shape)
-    layout["_by_path"] = by_path
-
-
-def make_fused_optimizer(params, cfg: OptimConfig,
-                         language_weights: Optional[Sequence[str]] = None):
-    """Grouped AdamW with flat moments and the fused single-pass update
-    kernel (ops/pallas_optim.py). Numerically matches
-    ``make_optimizer`` step for step (same moment/bias-correction/update
-    op order — tests/test_optim.py::test_fused_matches_grouped); the state
-    is one fp32 (mu, nu) vector per (lr, wd) group instead of per-leaf
-    trees, so the whole update is 4 kernel launches touching each buffer
-    exactly once. Wrap in optax.MultiSteps for accumulation exactly like
-    make_optimizer (the CLI does)."""
-    import jax.numpy as jnp
-
-    layout = fused_layout(params, language_weights)
+    labels = label_tree(params)
     lang_sched = warmup_linear_nonzero(cfg.lr, cfg,
                                        step_scale=cfg.batch_multiply)
     img_sched = warmup_linear_nonzero(cfg.image_lr, cfg,
@@ -242,41 +176,44 @@ def make_fused_optimizer(params, cfg: OptimConfig,
     b1, b2 = 0.9, 0.999
 
     def init(params_):
-        return FusedAdamState(
-            count=jnp.zeros([], jnp.int32),
-            mu={g: jnp.zeros(layout["n"][g], jnp.float32) for g in GROUPS
-                if layout["n"][g]},
-            nu={g: jnp.zeros(layout["n"][g], jnp.float32) for g in GROUPS
-                if layout["n"][g]})
+        zeros = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jnp.zeros(x.shape, jnp.float32), t)
+        return (optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                       mu=zeros(params_), nu=zeros(params_)),
+                optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32)))
 
     def update(updates, state, params_=None):
         if params_ is None:
             raise ValueError("fused adamw requires params")
         from unimm_tpu.ops import pallas_optim
 
+        adam_s, sched_s = state
         interpret = jax.default_backend() == "cpu"
-        lr = {"lang": lang_sched(state.count), "img": img_sched(state.count)}
-        t = (state.count + 1).astype(jnp.float32)
+        lr = {"lang": lang_sched(sched_s.count),
+              "img": img_sched(sched_s.count)}
+        t = (adam_s.count + 1).astype(jnp.float32)
         bc1 = 1.0 - b1 ** t          # divide in-kernel (optax rounding)
         bc2 = 1.0 - b2 ** t
-        u_flat, mu_new, nu_new = {}, {}, {}
-        for lab in GROUPS:
-            if not layout["n"][lab]:
-                continue
+
+        def leaf(g, p, mu, nu, lab):
             group, decay = lab.split("_")
             wd = cfg.weight_decay if decay == "decay" else 0.0
-            u, mu, nu = pallas_optim.adamw_update_flat(
-                flatten_group(updates, layout, lab),
-                flatten_group(params_, layout, lab),
-                state.mu[lab], state.nu[lab],
+            return pallas_optim.adamw_update_leaf(
+                g.astype(jnp.float32), p.astype(jnp.float32), mu, nu,
                 lr[group], wd, bc1, bc2,
                 b1=b1, b2=b2, eps=cfg.adam_eps, interpret=interpret)
-            u_flat[lab], mu_new[lab], nu_new[lab] = u, mu, nu
+
+        out = jax.tree_util.tree_map(leaf, updates, params_,
+                                     adam_s.mu, adam_s.nu, labels)
+        is3 = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa: E731
+        pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: x[i], out, is_leaf=is3)
         new_updates = jax.tree_util.tree_map(
-            lambda p, u: u.astype(p.dtype),
-            params_, unflatten_groups(u_flat, layout, params_))
-        return new_updates, FusedAdamState(count=state.count + 1,
-                                           mu=mu_new, nu=nu_new)
+            lambda u, g: u.astype(g.dtype), pick(0), updates)
+        new_state = (optax.ScaleByAdamState(count=adam_s.count + 1,
+                                            mu=pick(1), nu=pick(2)),
+                     optax.ScaleByScheduleState(count=sched_s.count + 1))
+        return new_updates, new_state
 
     tx = optax.GradientTransformation(init, update)
     if cfg.batch_multiply > 1:
