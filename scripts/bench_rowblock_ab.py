@@ -70,7 +70,14 @@ def main():
     B, R, O = 2, 10, 100
     ctx_fn = (realistic_ctx_range(cfg.max_seq_len)
               if workload == "realistic" else None)
-    batches = [make_val_batch(rng, cfg, B, R, O, ctx_range_fn=ctx_fn)
+    ctx_range = (58, 192)
+    if workload.startswith("bucket"):
+        # pin every group's context into ONE eighth-bucket (Lcb == N):
+        # contexts drawn from (N-30, N] so quarter_bucket(max lc) == N
+        n = int(workload[len("bucket"):])
+        ctx_range = (n - 30, n + 1)
+    batches = [make_val_batch(rng, cfg, B, R, O, ctx_range=ctx_range,
+                              ctx_range_fn=ctx_fn)
                for _ in range(6)]
     pairs = [_merge_batches(batches[i:i + 2]) for i in range(0, 6, 2)]
     n_dialogs = 6 * B * R / 10
