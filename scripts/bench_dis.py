@@ -34,7 +34,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-sys.path.insert(0, ".")
+_ROOT = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, _ROOT)
 from bench import wait_for_backend  # noqa: E402
 from scripts.bench_workload import make_dis_batch  # noqa: E402
 
@@ -112,9 +113,10 @@ def main():
             "detail": {"seq_per_sec": round(sps, 1),
                        "repeats": [round(r, 1) for r in rl]}}
         print(json.dumps(results["dis_test"]), flush=True)
-    with open("BENCH_dis.json", "w") as f:
+    out = _ROOT + "/BENCH_dis.json"
+    with open(out, "w") as f:
         json.dump(results, f, indent=1)
-    print("wrote BENCH_dis.json", flush=True)
+    print("wrote", out, flush=True)
 
 
 if __name__ == "__main__":

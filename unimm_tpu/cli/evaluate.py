@@ -42,10 +42,12 @@ def main(argv=None):
     out = (params["save_name"] or "evaluate") + "_predictions.txt"
     if sharded:
         # ONE EvalAI submission file merged from the disjoint shards
-        evaluator.dump_ranks_merged(ranks, out)
+        n = evaluator.dump_ranks_merged(ranks, out)
     else:
-        evaluator.dump_ranks(ranks, out)
-    print("wrote", out, len(ranks), "records")
+        evaluator.dump_ranks(ranks, out)   # process 0 writes
+        n = len(ranks)
+    if jax.process_index() == 0:           # only the writer reports
+        print("wrote", out, n, "records")
 
 
 if __name__ == "__main__":

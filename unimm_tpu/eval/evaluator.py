@@ -584,17 +584,18 @@ def dump_ranks(ranks: list, path: str, all_processes: bool = False):
         json.dump(ranks, f)
 
 
-def dump_ranks_merged(ranks: list, path: str):
+def dump_ranks_merged(ranks: list, path: str) -> int:
     """Write ONE predictions file from data-sharded eval (the reference
     emits a single save_name file, val_lm.py:186-190): every process's
     disjoint rank entries are allgathered and process 0 writes them sorted
     by (image_id, round_id) — deterministic regardless of how the loader
-    interleaved the shards. Single-process: plain dump."""
+    interleaved the shards. Single-process: plain dump. Returns the merged
+    record count (on every process; only process 0 wrote the file)."""
     if jax.process_count() == 1:
         ranks = sorted(ranks, key=lambda e: (e["image_id"], e["round_id"]))
         with open(path, "w") as f:
             json.dump(ranks, f)
-        return
+        return len(ranks)
     from jax.experimental import multihost_utils
 
     # per-process entry counts AND per-entry option counts can differ
@@ -607,11 +608,12 @@ def dump_ranks_merged(ranks: list, path: str):
     dims = np.asarray(multihost_utils.process_allgather(
         np.asarray([n, o], np.int64)))
     n_max, o_max = int(dims[:, 0].max()), int(dims[:, 1].max())
+    n_total = int(dims[:, 0].sum())
     if n_max == 0:
         if jax.process_index() == 0:
             with open(path, "w") as f:
                 json.dump([], f)
-        return
+        return n_total
     # row layout: [valid, image_id, round_id, o_len, ranks...]
     flat = np.zeros((n_max, 4 + o_max), np.int64)
     for i, e in enumerate(ranks):
@@ -622,7 +624,7 @@ def dump_ranks_merged(ranks: list, path: str):
         flat[i, 4:4 + len(e["ranks"])] = e["ranks"]
     g = np.asarray(multihost_utils.process_allgather(flat))
     if jax.process_index() != 0:
-        return
+        return n_total
     rows = g.reshape(-1, 4 + o_max)
     rows = rows[rows[:, 0] == 1]
     merged = [{"image_id": int(r[1]), "round_id": int(r[2]),
@@ -631,3 +633,4 @@ def dump_ranks_merged(ranks: list, path: str):
     merged.sort(key=lambda e: (e["image_id"], e["round_id"]))
     with open(path, "w") as f:
         json.dump(merged, f)
+    return len(merged)

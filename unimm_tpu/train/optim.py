@@ -64,6 +64,26 @@ def warmup_linear_nonzero(base_lr: float, cfg: OptimConfig,
     return schedule
 
 
+def _group_labels(params, language_weights):
+    """lr/decay group label per leaf (reference train.py:322-347 grouping:
+    names in config/language_weights.json get ``lr``, the rest ``image_lr``;
+    bias/LayerNorm no decay — incl. the stale-name quirk via
+    ckpt.group_label). Shared by make_optimizer and make_fused_optimizer so
+    the two tested-equivalent updates can never diverge in grouping."""
+    if language_weights is None:
+        lang_set = {ckpt.torch_name(p)
+                    for p, _ in ckpt.iter_param_items(params)}
+    else:
+        lang_set = ckpt.language_param_set(list(language_weights))
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        return ckpt.group_label(path, lang_set)
+
+    return rec(params, ())
+
+
 def make_optimizer(params, cfg: OptimConfig,
                    language_weights: Optional[Sequence[str]] = None):
     """Build the grouped AdamW. ``language_weights`` is the parsed JSON list;
@@ -81,19 +101,7 @@ def make_optimizer(params, cfg: OptimConfig,
     (checkpoint._graft_opt_state) and extraction work unchanged."""
     import jax.numpy as jnp
 
-    if language_weights is None:
-        lang_set = {ckpt.torch_name(p) for p, _ in ckpt.iter_param_items(params)}
-    else:
-        lang_set = ckpt.language_param_set(list(language_weights))
-
-    def label_tree(tree):
-        def rec(node, path):
-            if isinstance(node, dict):
-                return {k: rec(v, path + (k,)) for k, v in node.items()}
-            return ckpt.group_label(path, lang_set)
-        return rec(tree, ())
-
-    labels = label_tree(params)
+    labels = _group_labels(params, language_weights)
     lang_sched = warmup_linear_nonzero(cfg.lr, cfg,
                                        step_scale=cfg.batch_multiply)
     img_sched = warmup_linear_nonzero(cfg.image_lr, cfg,
@@ -155,20 +163,7 @@ def make_fused_optimizer(params, cfg: OptimConfig,
     cfg.batch_multiply > 1)."""
     import jax.numpy as jnp
 
-    if language_weights is None:
-        lang_set = {ckpt.torch_name(p)
-                    for p, _ in ckpt.iter_param_items(params)}
-    else:
-        lang_set = ckpt.language_param_set(list(language_weights))
-
-    def label_tree(tree):
-        def rec(node, path):
-            if isinstance(node, dict):
-                return {k: rec(v, path + (k,)) for k, v in node.items()}
-            return ckpt.group_label(path, lang_set)
-        return rec(tree, ())
-
-    labels = label_tree(params)
+    labels = _group_labels(params, language_weights)
     lang_sched = warmup_linear_nonzero(cfg.lr, cfg,
                                        step_scale=cfg.batch_multiply)
     img_sched = warmup_linear_nonzero(cfg.image_lr, cfg,
