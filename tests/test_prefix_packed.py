@@ -162,3 +162,35 @@ def test_packed_dp_sharded(params):
     for k in ("ll_sum", "ll_mean"):
         np.testing.assert_allclose(out[k], ref[k], rtol=2e-5, atol=2e-6,
                                    err_msg=k)
+
+
+def test_make_ffn_fused_matches_xla(params):
+    """PrefixScorer._make_ffn: the fused Pallas FFN (cfg.fused_ffn under
+    the kernel path) must equal the XLA ffn_block to float rounding, on
+    3-D packed rows, 4-D W-layout rows, and fall back cleanly when the
+    row count has no 8-aligned divisor."""
+    cfg = TINY.replace(attention_impl="pallas_block")
+    sc = PrefixScorer(cfg, dtype=jnp.float32)
+    p_inter = params["bert"]["encoder"]["layer"]["0"]["intermediate"]
+    p_out = params["bert"]["encoder"]["layer"]["0"]["output"]
+    rng0 = None
+    rng = np.random.default_rng(3)
+
+    for shape, rows in (((2, 64, TINY.hidden_size), 64),
+                        ((2, 3, 16, TINY.hidden_size), 48)):
+        h = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        f_x = sc._make_ffn(False, rows, rng0, None, True)
+        f_k = sc._make_ffn(True, rows, rng0, None, True)
+        a = f_x(p_inter, p_out, h)
+        b = f_k(p_inter, p_out, h)
+        assert a.shape == b.shape == h.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
+
+    # rows with no divisor from the 8-aligned candidate set -> XLA fallback
+    h = jnp.asarray(rng.normal(size=(2, 12, TINY.hidden_size)), jnp.float32)
+    f = sc._make_ffn(True, 12, rng0, None, True)
+    np.testing.assert_allclose(
+        np.asarray(f(p_inter, p_out, h)),
+        np.asarray(sc._make_ffn(False, 12, rng0, None, True)(
+            p_inter, p_out, h)), rtol=2e-5, atol=2e-6)

@@ -214,6 +214,41 @@ class PrefixScorer:
             return self._rb
         return 64 if (Lcb <= 192 and need <= 64) else 256
 
+    def _make_ffn(self, use_kernel, rows, rng0, smesh, interp):
+        """Per-layer answer-pass FFN: the fused Pallas block
+        (ops/pallas_attention_v2.fused_ffn_block — weights VMEM-resident,
+        the [*, intermediate] activation never reaches HBM) when the
+        production kernels are on and ``cfg.fused_ffn``; the XLA
+        vilbert.ffn_block otherwise. ``rows`` is the per-group answer row
+        count (packed P, or O*W in the W-layout); the kernel grid re-blocks
+        it into the largest <=256-row divisor (VMEM-bounded like the flat
+        path's fused FFN). Returns ffn(p_inter, p_out, h)."""
+        cfg = self.cfg
+        rbf = next((b for b in (256, 128, 64, 32, 16, 8)
+                    if rows % b == 0), None)
+        if not (use_kernel and cfg.fused_ffn and rbf):
+            def ffn(p_inter, p_out, h):
+                return vilbert.ffn_block(p_inter, p_out, h,
+                                         act=cfg.hidden_act, hidden_drop=0.0,
+                                         train=False, rng=rng0)
+            return ffn
+
+        from unimm_tpu.models.unimm import _shard_map_dp
+        from unimm_tpu.ops import pallas_attention_v2 as pattn2
+
+        def _ffn_k(h, p_inter, p_out):
+            g = h.shape[0]
+            hb = h.reshape(g * (rows // rbf), rbf, h.shape[-1])
+            y = pattn2.fused_ffn_block(hb, p_inter, p_out,
+                                       act=cfg.hidden_act, interpret=interp)
+            return y.reshape(h.shape)
+
+        _ffn_c = _shard_map_dp(smesh, _ffn_k, 1) if smesh else _ffn_k
+
+        def ffn(p_inter, p_out, h):
+            return _ffn_c(h, p_inter, p_out)
+        return ffn
+
     def _group_impl_packed(self, params, ctx_batch, rows, rb):
         res = self._answer_impl_packed(
             params, self._context_impl(params, ctx_batch), rows, rb)
@@ -336,6 +371,8 @@ class PrefixScorer:
         # independent, so both are precomputed once here. Under a mesh the
         # kernel is shard_mapped over dp (GSPMD has no custom-call rule).
         use_kernel = cfg.attention_impl == "pallas_block"
+        smesh = None
+        interp = False
         if use_kernel:
             from unimm_tpu.models.unimm import _kernel_mesh, _shard_map_dp
             from unimm_tpu.ops import pallas_prefix
@@ -365,6 +402,9 @@ class PrefixScorer:
             g, o, nh, w, dh = t.shape
             return t.transpose(0, 1, 3, 2, 4).reshape(g, o, w, nh * dh)
 
+        rng0 = vilbert._Rng(None)
+        ffn = self._make_ffn(use_kernel, O * W, rng0, smesh, interp)
+
         def rows_attention(q, kr, vr, kc, vc, b_row):
             # q/kr/vr [G,O,h,W,d]; kc/vc [G,h,K,d]; keys = cached ctx ++ rows
             scale = 1.0 / math.sqrt(q.shape[-1])
@@ -376,8 +416,6 @@ class PrefixScorer:
             pc, prr = pr[..., :kc.shape[2]], pr[..., kc.shape[2]:]
             return (jnp.einsum("gohwk,ghkd->gohwd", pc, vc)
                     + jnp.einsum("gohws,gohsd->gohwd", prr, vr))
-
-        rng0 = vilbert._Rng(None)
 
         def t_layer(lp, x, li):
             ps, po = lp["attention"]["self"], lp["attention"]["output"]
@@ -397,9 +435,7 @@ class PrefixScorer:
                 ctx = merge_rows(rows_attention(q, kr, vr, kc, vc, b_rr))
                 h = vilbert.linear(po["dense"], ctx)
                 h = vilbert.layer_norm(po["LayerNorm"], h + x)
-            return vilbert.ffn_block(lp["intermediate"], lp["output"], h,
-                                     act=cfg.hidden_act, hidden_drop=0.0,
-                                     train=False, rng=rng0)
+            return ffn(lp["intermediate"], lp["output"], h)
 
         def c_layer(cp, x, v_in):
             # text side of BertConnectionLayer only: the vision stream is
@@ -416,9 +452,7 @@ class PrefixScorer:
             ctx_t = merge_rows(jnp.einsum("gohwk,ghkd->gohwd", pr, v1))
             t_h = vilbert.linear(po["dense2"], ctx_t)
             t_out = vilbert.layer_norm(po["LayerNorm2"], t_h + x)
-            return vilbert.ffn_block(cp["t_intermediate"], cp["t_output"],
-                                     t_out, act=cfg.hidden_act,
-                                     hidden_drop=0.0, train=False, rng=rng0)
+            return ffn(cp["t_intermediate"], cp["t_output"], t_out)
 
         enc = p["encoder"]
         t_start = 0
@@ -535,6 +569,8 @@ class PrefixScorer:
         nh_t, nh_b = cfg.num_attention_heads, cfg.bi_num_attention_heads
 
         use_kernel = cfg.attention_impl == "pallas_block"
+        smesh = None
+        interp = False
         if use_kernel:
             from unimm_tpu.models.unimm import _kernel_mesh, _shard_map_dp
             from unimm_tpu.ops import pallas_prefix
@@ -550,6 +586,9 @@ class PrefixScorer:
 
             _ans_c = _shard_map_dp(smesh, _ans, 5) if smesh else _ans
 
+        rng0 = vilbert._Rng(None)
+        ffn = self._make_ffn(use_kernel, P, rng0, smesh, interp)
+
         def split_blocks(t, nh):       # [G, P, Hd] -> [G, PB, nh, RB, d]
             return t.reshape(G, PB, RB, nh, -1).transpose(0, 1, 3, 2, 4)
 
@@ -560,8 +599,6 @@ class PrefixScorer:
         def merge_blocks(t):           # [G, PB, nh, RB, d] -> [G, P, Hd]
             g, pb, nh, rbs, dh = t.shape
             return t.transpose(0, 1, 3, 2, 4).reshape(g, pb * rbs, nh * dh)
-
-        rng0 = vilbert._Rng(None)
 
         def t_layer(lp, x, li):
             ps, po = lp["attention"]["self"], lp["attention"]["output"]
@@ -591,9 +628,7 @@ class PrefixScorer:
                     + jnp.einsum("gbhws,gbhsd->gbhwd", prr, vr))
                 h = vilbert.linear(po["dense"], ctx)
                 h = vilbert.layer_norm(po["LayerNorm"], h + x)
-            return vilbert.ffn_block(lp["intermediate"], lp["output"], h,
-                                     act=cfg.hidden_act, hidden_drop=0.0,
-                                     train=False, rng=rng0)
+            return ffn(lp["intermediate"], lp["output"], h)
 
         def c_layer(cp, x, v_in):
             # text side of BertConnectionLayer; rows are row-independent
@@ -611,9 +646,7 @@ class PrefixScorer:
             ctx_t = ctx_t.transpose(0, 2, 1, 3).reshape(G, P, -1)
             t_h = vilbert.linear(po["dense2"], ctx_t)
             t_out = vilbert.layer_norm(po["LayerNorm2"], t_h + x)
-            return vilbert.ffn_block(cp["t_intermediate"], cp["t_output"],
-                                     t_out, act=cfg.hidden_act,
-                                     hidden_drop=0.0, train=False, rng=rng0)
+            return ffn(cp["t_intermediate"], cp["t_output"], t_out)
 
         enc = p["encoder"]
         t_start = 0
