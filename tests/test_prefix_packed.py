@@ -194,3 +194,24 @@ def test_make_ffn_fused_matches_xla(params):
         np.asarray(f(p_inter, p_out, h)),
         np.asarray(sc._make_ffn(False, 12, rng0, None, True)(
             p_inter, p_out, h)), rtol=2e-5, atol=2e-6)
+
+
+def test_packed_dp_sharded_kernel_path(params):
+    """dp-sharded packed scorer on the PRODUCTION kernel path (fused answer
+    attention + fused FFN, shard_mapped over dp) must match the unsharded
+    XLA packed scorer. Mirrors dryrun_multichip's prefix-kernel stage as a
+    standing pytest regression."""
+    from unimm_tpu.parallel import mesh as pmesh
+
+    batch = make_shared_batch(np.random.default_rng(16), TINY, B=2, R=2, O=4)
+    ref, ok0 = PrefixScorer(TINY, dtype=jnp.float32,
+                            packed=True).score(params, batch)
+    cfg = TINY.replace(attention_impl="pallas_block")
+    mesh = pmesh.make_mesh(8, mp=1)
+    sc = PrefixScorer(cfg, dtype=jnp.float32, group=4, mesh=mesh,
+                      packed=True)
+    out, ok = sc.score(params, batch)
+    assert ok.all() and ok0.all()
+    for k in ("ll_sum", "ll_mean"):
+        np.testing.assert_allclose(out[k], ref[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
